@@ -1,0 +1,163 @@
+"""Blocking: candidate-pair generation with skew-proof self-joins.
+
+The reference bounds its label search space by shrinking a 500K-entity
+output head to 5.6K in-domain entities (src/spel/model.py:56-79) and by
+per-mention candidate sets (src/spel/candidate_manager.py:31-56).  Our
+blocking stage plays exactly that role: no pair outside a shared block key
+is ever scored.
+
+Three key families, unioned (J9-style union of candidate sources):
+
+* ``k:`` exact normalized surface        — recalls all normalization-
+  recoverable corruptions (case/punct/possessive/slug);
+* ``f:`` first token (multi-token only)  — recalls truncations and
+  abbreviations, which preserve the head token;
+* ``b<j>:`` MinHash-LSH bands over character 3-shingles — recalls typos
+  and other ed-1 noise (deterministic xxhash64 seeds, SURVEY A12).
+
+Scale design (the part that must survive 100 TB):
+
+* pairs are generated over **distinct surface forms**, not mention
+  instances — instance->surface mapping collapses the Zipf head (a hot
+  tool name is ONE node no matter how many billion times it occurs);
+* oversized blocks are **salt-partitioned** (triangle replication): a
+  block of n surfaces with S salts becomes S*(S+1)/2 bounded cells, each
+  joined independently — the self-join never sees a monolithic hot key
+  (north star: "salted to break skew on hot mentions").  AQE skew-join
+  cannot do this for us because both sides of a self-join skew together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spel_spark.functions.similarity import shingles_col
+
+# MinHash-LSH parameters: 8 bands x 2 rows = 16 hash functions.
+# P(band collision) = 1-(1-j^2)^8 ≈ 0.99 at shingle-jaccard 0.6.
+LSH_SEEDS = list(range(101, 117))
+LSH_BANDS = 8
+LSH_ROWS = 2
+
+
+def surface_nodes(mentions: DataFrame) -> DataFrame:
+    """Distinct normalized surfaces with a stable 64-bit surface_id.
+
+    mentions must carry ``norm_surface``.  Also returns per-surface mention
+    counts (frequency drives salting decisions downstream).
+    """
+    return (
+        mentions.filter(F.length("norm_surface") > 0)
+        .groupBy("norm_surface")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .withColumn("surface_id", F.xxhash64("norm_surface"))
+    )
+
+
+def _seeded_min_hash(sh, seed: int):
+    # NB: the lambda must take exactly ONE arg — a two-arg lambda would be
+    # interpreted by Spark as (element, index) and silently drop the seed.
+    return F.array_min(F.transform(sh, lambda x: F.xxhash64(x, F.lit(seed))))
+
+
+def minhash_signature(df: DataFrame, col: str = "norm_surface") -> DataFrame:
+    """16 seeded min-hashes over character 3-shingles — pure builtins."""
+    sh = shingles_col(F.col(col))
+    out = df
+    for i, seed in enumerate(LSH_SEEDS):
+        out = out.withColumn(f"mh_{i}", _seeded_min_hash(sh, seed))
+    return out
+
+
+def blocking_keys(surfaces: DataFrame) -> DataFrame:
+    """Explode each surface node into its block keys (all three families).
+
+    Returns (surface_id, norm_surface, block_key).
+    """
+    sig = minhash_signature(surfaces)
+    band_cols = []
+    for j in range(LSH_BANDS):
+        parts = [F.col(f"mh_{j * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        band_cols.append(
+            F.concat(F.lit(f"b{j}:"), F.xxhash64(*parts).cast("string"))
+        )
+    # first-token key applies to single-token surfaces too: a truncated
+    # surface ("kamora") must co-block with its full form ("kamora ledger")
+    first_tok = F.split(F.col("norm_surface"), " ").getItem(0)
+    keys = F.array(
+        F.concat(F.lit("k:"), F.col("norm_surface")),
+        F.concat(F.lit("f:"), first_tok),
+        *band_cols,
+    )
+    return (
+        sig.select(
+            "surface_id",
+            "norm_surface",
+            F.explode(F.filter(keys, lambda k: k.isNotNull())).alias("block_key"),
+        )
+    )
+
+
+def salted_pairs(
+    blocks: DataFrame,
+    max_cell: int = 1024,
+    max_salts: int = 64,
+) -> DataFrame:
+    """All unordered surface pairs sharing a block key, skew-salted.
+
+    blocks: (surface_id, norm_surface, block_key).
+    Output: (a_id, b_id, a_norm, b_norm, block_key) with a_id < b_id,
+    deduplicated across key families.
+
+    Triangle replication: member with salt s appears on the A side of
+    cells (s, j) for j >= s and the B side of cells (i, s) for i <= s;
+    equi-join on (block_key, i, j) then a_id < b_id keeps each pair once.
+    """
+    counts = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("n_members"))
+    sized = (
+        blocks.join(counts, "block_key")
+        .filter(F.col("n_members") > 1)
+        .withColumn(
+            "n_salts",
+            F.least(
+                F.greatest(F.ceil(F.col("n_members") / max_cell), F.lit(1)),
+                F.lit(max_salts),
+            ).cast("int"),
+        )
+        .withColumn("salt", F.pmod(F.xxhash64("surface_id", F.lit(7)), F.col("n_salts")).cast("int"))
+    )
+    a_side = sized.select(
+        "block_key",
+        F.col("surface_id").alias("a_id"),
+        F.col("norm_surface").alias("a_norm"),
+        F.col("salt").alias("i"),
+        F.explode(F.sequence(F.col("salt"), F.col("n_salts") - 1)).alias("j"),
+    )
+    b_side = sized.select(
+        "block_key",
+        F.col("surface_id").alias("b_id"),
+        F.col("norm_surface").alias("b_norm"),
+        F.explode(F.sequence(F.lit(0), F.col("salt"))).alias("i"),
+        F.col("salt").alias("j"),
+    )
+    # off-diagonal cells yield each pair in ONE orientation (A = smaller
+    # salt); canonicalize by id instead of filtering, else half the
+    # cross-salt pairs would be lost
+    joined = a_side.join(b_side, ["block_key", "i", "j"]).filter(
+        F.col("a_id") != F.col("b_id")
+    )
+    a_lt = F.col("a_id") < F.col("b_id")
+    pairs = joined.select(
+        F.when(a_lt, F.col("a_id")).otherwise(F.col("b_id")).alias("a_id"),
+        F.when(a_lt, F.col("b_id")).otherwise(F.col("a_id")).alias("b_id"),
+        F.when(a_lt, F.col("a_norm")).otherwise(F.col("b_norm")).alias("a_norm"),
+        F.when(a_lt, F.col("b_norm")).otherwise(F.col("a_norm")).alias("b_norm"),
+        "block_key",
+    )
+    # dedup across key families: one row per unordered pair
+    return pairs.groupBy("a_id", "b_id").agg(
+        F.first("a_norm").alias("a_norm"),
+        F.first("b_norm").alias("b_norm"),
+        F.min("block_key").alias("block_key"),
+    )

@@ -1,0 +1,116 @@
+"""Transitive clustering: iterative hash-min connected components.
+
+SpEL's clusters are implicit — every mention resolves to a dense entity id
+and equal ids corefer (src/spel/span_annotation.py:12, utils.py:389-396).
+With pairwise match edges instead of a global label space, the equivalence
+relation is the connected components of the match graph.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds, each round
+two equi-joins + one min-aggregation; no collect_list, so Zipf-hot nodes
+stay inside map-side-combinable aggregations.
+
+Catalyst cannot express recursion, so the loop is driver-side with a
+checkpoint per iteration to truncate lineage (the reference's analogue:
+its pickle cache, src/spel/utils.py:116-137) and a lineage row per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spel_spark.io import CheckpointStore
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(Γ(u) ∪ {u}).  Input/output: edge pairs (u, v), any orientation."""
+    fwd = e.select("u", "v")
+    nbr = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = nbr.groupBy("u").agg(F.min("v").alias("mv"))
+    m = F.least(F.col("mv"), F.col("u"))
+    return (
+        nbr.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large->small; connect each small neighbor of u (and u
+    itself) to min(N(u) ∪ {u}).  Output oriented large->small."""
+    d = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("mv"))
+    out = (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+        .union(mins.select("u", F.col("mv").alias("v")))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    store: CheckpointStore | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given by (a_id, b_id) edges.
+
+    Returns (node, component) where component = min node id of the
+    component.  Nodes with no edges are absent (caller maps singletons to
+    themselves).  Alternates large-star/small-star until the oriented edge
+    set is a fixed point (then every node points at its component min).
+    """
+    nbr = edges.select(
+        F.greatest("a_id", "b_id").alias("u"), F.least("a_id", "b_id").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    prev_sig = None
+    for it in range(max_iter):
+        nbr = _small_star(_large_star(nbr))
+        # checkpoint: truncate the iterative lineage (driver loop, SURVEY §4 #2)
+        if store is not None:
+            store.write(nbr, f"_cc_iter_{it % 2}")
+            nbr = store.read(f"_cc_iter_{it % 2}")
+            store.append_lineage(f"cc_iter_{it}", nbr)
+        else:
+            nbr = nbr.localCheckpoint(eager=True)
+        sig_row = nbr.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),  # overflow-free set checksum
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if prev_sig == sig:
+            break
+        prev_sig = sig
+    return nbr.select(F.col("u").alias("node"), F.col("v").alias("component"))
+
+
+def assign_clusters(
+    mentions: DataFrame, surfaces: DataFrame, components: DataFrame
+) -> DataFrame:
+    """mention -> cluster_id.
+
+    cluster label = component min surface_id (surfaces without edges are
+    their own component); cluster_id is then canonicalized to
+    min(mention_id) over the cluster (FIXTURES §5 gold form) so predicted
+    and gold ids share a canonical representation.
+    """
+    surf_comp = (
+        surfaces.join(components, surfaces["surface_id"] == components["node"], "left")
+        .withColumn("component", F.coalesce("component", "surface_id"))
+        .select("norm_surface", "component")
+    )
+    m = mentions.join(surf_comp, "norm_surface")
+    canon = m.groupBy("component").agg(F.min("mention_id").alias("cluster_id"))
+    return (
+        m.join(canon, "component")
+        .select("mention_id", "conv_id", "turn_idx", "begin_char", "end_char",
+                "surface", "norm_surface", "cluster_id")
+    )

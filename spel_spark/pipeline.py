@@ -1,0 +1,104 @@
+"""End-to-end entity-resolution pipeline with checkpointed stages + resume.
+
+Stage DAG (each stage an atomic checkpoint + per-partition lineage rows,
+resumable from the last committed stage — north rule):
+
+  transcripts
+    -> mentions     (extract + normalize + redirect + mention_id)
+    -> surfaces     (distinct norm surfaces = dedup of the Zipf head)
+    -> blocks       (3 key families, exploded)
+    -> pairs        (salted self-join over distinct surfaces)
+    -> scores       (blended similarity)
+    -> edges        (threshold)
+    -> components   (large-star/small-star CC, per-iteration checkpoint)
+    -> clusters     (mention -> canonical min-mention-id cluster)
+
+The reference's equivalent lifecycle is EP1 (SURVEY §3): per-document
+Python loop -> here, partition parallelism over conversations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spel_spark.io import CheckpointStore
+from spel_spark.operators.blocking import blocking_keys, salted_pairs, surface_nodes
+from spel_spark.operators.clustering import assign_clusters, connected_components
+from spel_spark.operators.mentions import (
+    extract_mentions,
+    extract_mentions_arrow,
+    with_mention_id,
+    with_norm_surface,
+)
+from spel_spark.operators.scoring import DEFAULT_THRESHOLD, score_pairs, threshold_edges
+
+STAGES = ["mentions", "surfaces", "blocks", "pairs", "scores", "edges", "clusters"]
+
+
+@dataclass
+class PipelineConfig:
+    threshold: float = DEFAULT_THRESHOLD
+    max_cell: int = 1024
+    max_salts: int = 64
+    use_arrow_extractor: bool = False
+    use_cosine: bool = False
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    store: CheckpointStore,
+    redirects: DataFrame | None = None,
+    config: PipelineConfig | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Run (or resume) the full flow; returns the clusters DataFrame.
+
+    Resume: a stage whose checkpoint committed (atomic rename / Iceberg
+    snapshot) is read back instead of recomputed — the analogue of the
+    reference's continue_from_previous_checkpoint
+    (src/spel/finetune_step_1.py:65-66).
+    """
+    cfg = config or PipelineConfig()
+
+    def stage(name: str, build) -> DataFrame:
+        if resume and store.exists(name):
+            return store.read(name)
+        df = build()
+        store.write(df, name)
+        committed = store.read(name)
+        store.append_lineage(name, committed)
+        return committed
+
+    def build_mentions() -> DataFrame:
+        ext = extract_mentions_arrow if cfg.use_arrow_extractor else extract_mentions
+        m = ext(transcripts)
+        m = with_norm_surface(m, redirects)
+        return with_mention_id(m)
+
+    mentions = stage("mentions", build_mentions)
+    surfaces = stage("surfaces", lambda: surface_nodes(mentions))
+    blocks = stage("blocks", lambda: blocking_keys(surfaces))
+    pairs = stage(
+        "pairs", lambda: salted_pairs(blocks, cfg.max_cell, cfg.max_salts)
+    )
+    scores = stage("scores", lambda: score_pairs(pairs, cfg.use_cosine))
+    edges = stage("edges", lambda: threshold_edges(scores, cfg.threshold))
+
+    def build_clusters() -> DataFrame:
+        comps = connected_components(edges, store=None)
+        return assign_clusters(mentions, surfaces, comps)
+
+    return stage("clusters", build_clusters)
+
+
+def load_transcripts_df(spark: SparkSession, corpus) -> DataFrame:
+    """pandas Corpus.transcripts -> Spark DataFrame with exact schema."""
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    return spark.createDataFrame(corpus.transcripts, schema=schema)

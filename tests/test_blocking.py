@@ -1,0 +1,82 @@
+"""Blocking: LSH determinism, seed independence, salted self-join == naive."""
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from spel_spark.operators.blocking import (
+    LSH_SEEDS,
+    blocking_keys,
+    minhash_signature,
+    salted_pairs,
+    surface_nodes,
+)
+
+
+def _surfaces(spark, names):
+    df = spark.createDataFrame([(s, 1) for s in names], "norm_surface string, n_mentions int")
+    return df.withColumn("surface_id", F.xxhash64("norm_surface"))
+
+
+def test_minhash_deterministic(spark):
+    df = _surfaces(spark, ["kamora ledger", "pivek solar"])
+    a = minhash_signature(df).orderBy("norm_surface").collect()
+    b = minhash_signature(df).orderBy("norm_surface").collect()
+    assert a == b
+
+
+def test_minhash_seeds_vary(spark):
+    """Regression: all 16 hashes must differ per surface (the 2-arg-lambda
+    index bug produced identical columns)."""
+    df = _surfaces(spark, ["kamora ledger"])
+    row = minhash_signature(df).collect()[0]
+    vals = {row[f"mh_{i}"] for i in range(len(LSH_SEEDS))}
+    assert len(vals) > len(LSH_SEEDS) // 2
+
+
+def test_lsh_recalls_typo(spark):
+    df = _surfaces(spark, ["feemur voskin", "fevmur voskin"])
+    keys = blocking_keys(df)
+    shared = (
+        keys.groupBy("block_key")
+        .count()
+        .filter((F.col("count") > 1) & F.col("block_key").startswith("b"))
+    )
+    assert shared.count() >= 1
+
+
+def test_first_token_key_recalls_truncation(spark):
+    df = _surfaces(spark, ["kamora", "kamora ledger"])
+    pairs = salted_pairs(blocking_keys(df))
+    assert pairs.count() == 1
+
+
+def test_salted_equals_naive(spark):
+    """Triangle-replicated self-join == naive combinations, even when the
+    block is forced to salt (max_cell=2 on a 9-member block)."""
+    names = [f"hot {i}" for i in range(9)]
+    df = _surfaces(spark, names)
+    blocks = df.select(
+        "surface_id", "norm_surface", F.lit("k:hot").alias("block_key")
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in salted_pairs(blocks, max_cell=2, max_salts=8).collect()
+    }
+    ids = sorted(r.surface_id for r in df.collect())
+    want = {(a, b) for a, b in combinations(ids, 2)}
+    assert got == want
+
+
+def test_salted_pairs_dedup_across_families(spark):
+    df = _surfaces(spark, ["kamora ledger", "kamora ledgex"])
+    pairs = salted_pairs(blocking_keys(df)).collect()
+    assert len(pairs) == 1  # shares f: and several b: keys, but one row out
+
+
+def test_surface_nodes_counts(spark):
+    m = spark.createDataFrame(
+        [("search",), ("search",), ("kamora ledger",)], "norm_surface string"
+    )
+    got = {r.norm_surface: r.n_mentions for r in surface_nodes(m).collect()}
+    assert got == {"search": 2, "kamora ledger": 1}
