@@ -1,38 +1,132 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship near-duplicate document clustering (MinHash-LSH ->
+Jaccard verify -> connected components) on sf0.001.
+
+``queries``/``oracle_sql``: one entry per implemented operator from
+SURVEY.md §2 — relational core (aggs, windows, gaps-and-islands, top-k,
+sessionization), record-linkage kernels (normalizer, blocking, pair
+self-join, Jaccard/Levenshtein scoring, threshold edges, micro-F1,
+portable md5 MinHash + LSH bands), and training-data-pipeline ops
+(exact/ngram/embedding dedup, ANN top-k, text stats, language heuristic,
+fingerprinting).  xxhash64-based internals (SimHash, engine LSH, full ER
+pipeline, Jaro-Winkler) have no DuckDB twin and are exported rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spel_spark.queries import CATALOG  # noqa: E402
+
+
+def _ship(spark: SparkSession) -> None:
+    """Make spel_spark importable on Python workers (pandas UDFs)."""
+    try:
+        from spel_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _ship(spark)
+    from spel_spark.operators.dedup import cluster_documents
+
+    return cluster_documents(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# rows-only extras (non-SQL-expressible: iterative CC, xxhash64, pandas UDF)
+# ---------------------------------------------------------------------------
+
+def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spel_spark.operators.dedup import simhash64, simhash_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_candidate_pairs(simhash64(docs), max_hamming=8).orderBy(
+        "a_id", "b_id"
+    )
+
+
+def _q_minhash_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spel_spark.operators.dedup import cluster_documents
+
+    return cluster_documents(spark, sf_dir)
+
+
+def _q_jaro_winkler_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JW over blocked part-name pairs — the Arrow-batched pandas UDF path."""
+    from pyspark.sql import functions as F
+
+    from spel_spark.functions.similarity import jaro_winkler_udf
+    from spel_spark.queries import q_norm_surface, q_pairs_exact_block
+
+    p = q_norm_surface(spark, sf_dir)
+    pairs = q_pairs_exact_block(spark, sf_dir)
+    a = p.select(F.col("p_partkey").alias("a_key"), F.col("norm_surface").alias("a_norm"))
+    b = p.select(F.col("p_partkey").alias("b_key"), F.col("norm_surface").alias("b_norm"))
+    return (
+        pairs.join(a, "a_key").join(b, "b_key")
+        .select(
+            "a_key", "b_key",
+            F.round(jaro_winkler_udf(F.col("a_norm"), F.col("b_norm")), 6)
+            .cast("double").alias("jw"),
+        )
+    )
+
+
+def _q_er_f1_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ER pipeline on the seeded synthetic transcript corpus (sf_dir is
+    ignored — the corpus is generator-defined per FIXTURES.md) -> one row of
+    pairwise micro P/R/F1.  The north-rule gate: expect F1 >= 0.99."""
+    from spel_spark.datagen import generate
+    from spel_spark.operators.metrics import pairwise_micro_f1, resolve_labeled_pairs
+    from spel_spark.pipeline import load_transcripts_df, run_pipeline
+
+    corpus = generate(seed=42, n_turns=2000)
+    tdf = load_transcripts_df(spark, corpus)
+    clusters = run_pipeline(
+        spark, tdf, store=None, redirects=spark.createDataFrame(corpus.redirects)
+    )
+    labeled = spark.createDataFrame(corpus.labeled_pairs)
+    return pairwise_micro_f1(resolve_labeled_pairs(labeled, clusters))
+
+
+_ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "simhash_dedup": _q_simhash_dedup,
+    "minhash_doc_clusters": _q_minhash_doc_clusters,
+    "jaro_winkler_scores": _q_jaro_winkler_scores,
+    "er_f1_synthetic": _q_er_f1_synthetic,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    for name, (fn, _sql) in CATALOG.items():
+        out[name] = wrap(fn)
+    for name, fn in _ROWS_ONLY.items():
+        out[name] = wrap(fn)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in CATALOG.items() if sql is not None}

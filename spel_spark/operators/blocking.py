@@ -44,13 +44,18 @@ LSH_ROWS = 2
 def surface_nodes(mentions: DataFrame) -> DataFrame:
     """Distinct normalized surfaces with a stable 64-bit surface_id.
 
-    mentions must carry ``norm_surface``.  Also returns per-surface mention
-    counts (frequency drives salting decisions downstream).
+    mentions must carry ``norm_surface`` and ``mention_id``.  Carries
+    per-surface mention counts (frequency drives anchor election and
+    salting) and the min mention id (cluster canonicalization happens on
+    this tiny table instead of re-shuffling the instance table).
     """
     return (
         mentions.filter(F.length("norm_surface") > 0)
         .groupBy("norm_surface")
-        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.min("mention_id").alias("min_mention_id"),
+        )
         .withColumn("surface_id", F.xxhash64("norm_surface"))
     )
 
@@ -73,7 +78,8 @@ def minhash_signature(df: DataFrame, col: str = "norm_surface") -> DataFrame:
 def blocking_keys(surfaces: DataFrame) -> DataFrame:
     """Explode each surface node into its block keys (all three families).
 
-    Returns (surface_id, norm_surface, block_key).
+    Returns (surface_id, norm_surface, n_mentions, block_key); n_mentions
+    (instance frequency) drives anchor election and salting downstream.
     """
     sig = minhash_signature(surfaces)
     band_cols = []
@@ -94,6 +100,7 @@ def blocking_keys(surfaces: DataFrame) -> DataFrame:
         sig.select(
             "surface_id",
             "norm_surface",
+            "n_mentions",
             F.explode(F.filter(keys, lambda k: k.isNotNull())).alias("block_key"),
         )
     )
@@ -160,4 +167,75 @@ def salted_pairs(
         F.first("a_norm").alias("a_norm"),
         F.first("b_norm").alias("b_norm"),
         F.min("block_key").alias("block_key"),
+    )
+
+
+def anchor_pairs(
+    blocks: DataFrame,
+    n_anchors: int = 2,
+    full_block_limit: int = 8,
+) -> DataFrame:
+    """Anchor-sparsified pair generation — the 100-TB-scale path.
+
+    All-pairs inside a block is O(n²); at trillion-turn scale a block of
+    10⁵ distinct typo variants would emit 10¹⁰ pairs.  But clustering only
+    needs CONNECTIVITY: every member must reach the entity core, and the
+    core IS the block's most frequent surface (easy corruptions all
+    normalize onto the canonical form, so its instance count dominates).
+    So: elect the top-``n_anchors`` surfaces per block by mention frequency
+    (ties by surface_id for determinism) and pair every member with each
+    anchor — O(n·k) per block; transitive closure (CC) completes the
+    cluster.  Blocks with <= ``full_block_limit`` members keep exact
+    all-pairs (cheap, and protects tiny blocks whose anchor may itself be
+    a corrupted form).
+
+    The reference's analogue: candidate sets restrict scoring to a small
+    allow-list per mention (src/spel/candidate_manager.py:76-103).
+
+    blocks: (surface_id, norm_surface, n_mentions, block_key).
+    Output: (a_id, b_id, a_norm, b_norm, block_key), a_id < b_id, deduped.
+    """
+    from pyspark.sql import Window
+
+    counts = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("n_members"))
+    sized = blocks.join(counts, "block_key").filter(F.col("n_members") > 1)
+
+    small = sized.filter(F.col("n_members") <= full_block_limit).select(
+        "surface_id", "norm_surface", "n_mentions", "block_key"
+    )
+    big = sized.filter(F.col("n_members") > full_block_limit)
+
+    w = Window.partitionBy("block_key").orderBy(
+        F.col("n_mentions").desc(), F.col("surface_id")
+    )
+    anchors = (
+        big.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_anchors)
+        .select(
+            F.col("surface_id").alias("anchor_id"),
+            F.col("norm_surface").alias("anchor_norm"),
+            "block_key",
+        )
+    )
+    member_anchor = (
+        big.join(anchors, "block_key")
+        .filter(F.col("surface_id") != F.col("anchor_id"))
+    )
+    a_lt = F.col("surface_id") < F.col("anchor_id")
+    big_pairs = member_anchor.select(
+        F.when(a_lt, F.col("surface_id")).otherwise(F.col("anchor_id")).alias("a_id"),
+        F.when(a_lt, F.col("anchor_id")).otherwise(F.col("surface_id")).alias("b_id"),
+        F.when(a_lt, F.col("norm_surface")).otherwise(F.col("anchor_norm")).alias("a_norm"),
+        F.when(a_lt, F.col("anchor_norm")).otherwise(F.col("norm_surface")).alias("b_norm"),
+        "block_key",
+    )
+    small_pairs = salted_pairs(small)
+    return (
+        big_pairs.unionByName(small_pairs)
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.first("a_norm").alias("a_norm"),
+            F.first("b_norm").alias("b_norm"),
+            F.min("block_key").alias("block_key"),
+        )
     )

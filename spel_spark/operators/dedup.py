@@ -1,0 +1,157 @@
+"""Document-level deduplication operators (training-data pipeline).
+
+Exact dedup, SimHash, and MinHash-LSH near-dup *clustering* over the
+``documents`` table — the document-scale siblings of the mention-level
+blocking in operators/blocking.py.  Everything is Spark builtins (xxhash64,
+HOFs, bit ops); no Python on the hot path.
+
+SimHash: 64 per-bit sign sums over token hashes -> one BIGINT; candidate
+pairs via 4x16-bit band equality; verified by popcount(xor) <= max_hamming
+(F.bit_count is JVM-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spel_spark.operators.clustering import connected_components
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 16 bits each
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash BIGINT): sign of per-bit weighted sums of token hashes.
+
+    One explode + one groupBy with 64 conditional sums — all map-side
+    combinable, so Zipf-heavy documents cost nothing extra.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok", F.lit(5)))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup candidates: equal 16-bit band -> verify popcount(xor)."""
+    bands = sims.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{j}:"),
+                        F.shiftright(F.col("simhash"), j * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"),
+                    )
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sh_a"), "band")
+    b = bands.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sh_b"), "band")
+    return (
+        a.join(b, "band")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def _word_minhash_bands(
+    docs: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """MinHash over word token sets, banded (engine-internal xxhash64)."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+
+    def seeded(seed: int):
+        return F.array_min(F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed))))
+
+    sig = docs.select(
+        F.col(id_col), *[seeded(200 + i).alias(f"mh_{i}") for i in range(n_hashes)]
+    )
+    r = n_hashes // bands
+    band_cols = [
+        F.concat(
+            F.lit(f"b{j}:"),
+            F.xxhash64(*[F.col(f"mh_{j * r + k}") for k in range(r)]).cast("string"),
+        )
+        for j in range(bands)
+    ]
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """LSH candidates -> exact token-set Jaccard verification."""
+    bands = _word_minhash_bands(docs, id_col, text_col)
+    a = bands.select(F.col(id_col).alias("a_id"), "band")
+    b = bands.select(F.col(id_col).alias("b_id"), "band")
+    cands = (
+        a.join(b, "band").filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
+    )
+    t = docs.select(
+        F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("toks")
+    )
+    ta = t.select(F.col(id_col).alias("a_id"), F.col("toks").alias("ta"))
+    tb = t.select(F.col(id_col).alias("b_id"), F.col("toks").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
+    return (
+        cands.join(ta, "a_id")
+        .join(tb, "b_id")
+        .withColumn("jacc", jac.cast("double"))
+        .filter(F.col("jacc") >= jaccard_threshold)
+        .select("a_id", "b_id", "jacc")
+    )
+
+
+def cluster_documents(
+    spark: SparkSession, sf_dir: str, jaccard_threshold: float = 0.8
+) -> DataFrame:
+    """Flagship: near-duplicate document clustering.
+
+    documents -> MinHash-LSH candidates -> Jaccard verify -> connected
+    components -> (doc_id, cluster_id, cluster_size).  Singleton documents
+    cluster with themselves.  The document-scale analogue of the mention
+    pipeline (SURVEY §7 step 2), exercising A12/J10/J11/X13 end to end.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = minhash_near_dup_pairs(docs, jaccard_threshold=jaccard_threshold)
+    comps = connected_components(edges)
+    out = (
+        docs.select("doc_id")
+        .join(comps, docs["doc_id"] == comps["node"], "left")
+        .withColumn("cluster_id", F.coalesce("component", "doc_id"))
+        .select("doc_id", "cluster_id")
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")

@@ -41,33 +41,42 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     """Builtin extractor: quote-delimited spans with exact char offsets.
 
     split(text, '"') yields alternating outside/inside segments; inside
-    segments sit at odd positions.  begin offset = prefix sum of prior
-    segment lengths + one quote char per boundary — a window prefix-sum
-    over (conv_id, turn_idx) ordered by segment position.
+    segments sit at odd positions.  Begin offsets are prefix sums of prior
+    segment lengths (+1 quote per boundary) computed WITHIN the row by an
+    ``aggregate`` HOF — the whole stage is a narrow map with **zero
+    shuffle**, so it scales linearly with input splits (a window over
+    (conv_id, turn_idx) would shuffle every segment row).
     """
     segs = F.split(F.col("text"), '"')
-    w = (
-        Window.partitionBy("conv_id", "turn_idx")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # running-sum array: begins[i] = sum_{j<i}(len(segs[j]) + 1)
+    begins = F.aggregate(
+        segs,
+        F.struct(
+            F.lit(0).cast("int").alias("pos"),
+            F.array().cast("array<int>").alias("begins"),
+        ),
+        lambda acc, s: F.struct(
+            (acc["pos"] + F.length(s) + 1).cast("int").alias("pos"),
+            F.concat(acc["begins"], F.array(acc["pos"])).alias("begins"),
+        ),
+        lambda acc: acc["begins"],
     )
-    exploded = (
-        transcripts.select(
-            "conv_id", "turn_idx", "tool", F.posexplode(segs).alias("pos", "seg"),
-            F.size(segs).alias("n_segs"),
-        )
-        .withColumn("begin_char", F.coalesce(F.sum(F.length("seg") + 1).over(w), F.lit(0)).cast("int"))
+    exploded = transcripts.select(
+        "conv_id", "turn_idx", "tool",
+        F.size(segs).alias("n_segs"),
+        F.posexplode(
+            F.arrays_zip(segs.alias("segs"), begins.alias("begins"))
+        ).alias("pos", "z"),
     )
-    return (
-        exploded.filter((F.col("pos") % 2 == 1) & (F.col("pos") < F.col("n_segs") - 1))
-        .select(
-            "conv_id",
-            "turn_idx",
-            "begin_char",
-            (F.col("begin_char") + F.length("seg")).cast("int").alias("end_char"),
-            F.col("seg").alias("surface"),
-            "tool",
-        )
+    return exploded.filter(
+        (F.col("pos") % 2 == 1) & (F.col("pos") < F.col("n_segs") - 1)
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("z.begins").alias("begin_char"),
+        (F.col("z.begins") + F.length(F.col("z.segs"))).cast("int").alias("end_char"),
+        F.col("z.segs").alias("surface"),
+        "tool",
     )
 
 
@@ -99,7 +108,8 @@ def extract_mentions_arrow(transcripts: DataFrame) -> DataFrame:
                     out["end_char"].append(m.end(1))
                     out["surface"].append(m.group(1))
                     out["tool"].append(tool)
-            yield pd.DataFrame(out)
+            if out["conv_id"]:  # empty frames infer wrong Arrow types
+                yield pd.DataFrame(out)
 
     return transcripts.select("conv_id", "turn_idx", "text", "tool").mapInPandas(
         op, schema=MENTION_SCHEMA

@@ -59,5 +59,18 @@ def score_pairs(pairs: DataFrame, use_cosine: bool = False) -> DataFrame:
 
 
 def threshold_edges(scored: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
-    """Keep match edges: (a_id, b_id, score) with score >= threshold."""
-    return scored.filter(F.col("score") >= threshold).select("a_id", "b_id", "score")
+    """Keep match edges: score >= threshold, with a precision gate.
+
+    Gate: pairs whose head tokens disagree (ftok=0) must also be a
+    near-single-edit (lev >= 0.85).  Rationale: every legitimate
+    corruption either preserves the head token (truncation, abbreviation,
+    possessive, case) or is within ~1 edit of its canonical (typo,
+    space-typo); a pair failing BOTH is a near-miss alias of a different
+    entity — one such edge transitively merges two whole clusters, so
+    precision failures are catastrophic while recall failures are local.
+    """
+    gate = (F.col("ftok") == 1.0) | (F.col("lev") >= 0.85)
+    return (
+        scored.filter((F.col("score") >= threshold) & gate)
+        .select("a_id", "b_id", "score")
+    )

@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spel_spark.io import CheckpointStore
-from spel_spark.operators.blocking import blocking_keys, salted_pairs, surface_nodes
+from spel_spark.operators.blocking import (
+    anchor_pairs,
+    blocking_keys,
+    salted_pairs,
+    surface_nodes,
+)
 from spel_spark.operators.clustering import assign_clusters, connected_components
 from spel_spark.operators.mentions import (
     extract_mentions,
@@ -45,12 +50,16 @@ class PipelineConfig:
     max_salts: int = 64
     use_arrow_extractor: bool = False
     use_cosine: bool = False
+    # anchor-sparsified pair generation (O(n·k) per block) vs exact
+    # all-pairs (O(n²), salted).  Anchors are the scale default.
+    exact_pairs: bool = False
+    n_anchors: int = 2
 
 
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
-    store: CheckpointStore,
+    store: CheckpointStore | None,
     redirects: DataFrame | None = None,
     config: PipelineConfig | None = None,
     resume: bool = True,
@@ -60,11 +69,23 @@ def run_pipeline(
     Resume: a stage whose checkpoint committed (atomic rename / Iceberg
     snapshot) is read back instead of recomputed — the analogue of the
     reference's continue_from_previous_checkpoint
-    (src/spel/finetune_step_1.py:65-66).
+    (src/spel/finetune_step_1.py:65-66).  ``store=None`` runs ephemerally
+    (localCheckpoint only, no durability — for quick evaluations).
     """
     cfg = config or PipelineConfig()
 
+    # mentions is a zero-shuffle narrow map over transcripts: recomputing
+    # it for each consumer is cheaper (and far lighter on GC) than caching
+    # 10^7 wide rows — only the small, expensive-to-recompute stage outputs
+    # are persisted in ephemeral mode.
+    # scores has a single consumer (edges) — fusing avoids one extra pass
+    _EPHEMERAL_NO_PERSIST = {"mentions", "scores", "clusters"}
+
     def stage(name: str, build) -> DataFrame:
+        if store is None:
+            df = build()
+            # fuse into one DAG; persist only small reused outputs
+            return df if name in _EPHEMERAL_NO_PERSIST else df.persist()
         if resume and store.exists(name):
             return store.read(name)
         df = build()
@@ -82,9 +103,12 @@ def run_pipeline(
     mentions = stage("mentions", build_mentions)
     surfaces = stage("surfaces", lambda: surface_nodes(mentions))
     blocks = stage("blocks", lambda: blocking_keys(surfaces))
-    pairs = stage(
-        "pairs", lambda: salted_pairs(blocks, cfg.max_cell, cfg.max_salts)
-    )
+    def build_pairs() -> DataFrame:
+        if cfg.exact_pairs:
+            return salted_pairs(blocks, cfg.max_cell, cfg.max_salts)
+        return anchor_pairs(blocks, n_anchors=cfg.n_anchors)
+
+    pairs = stage("pairs", build_pairs)
     scores = stage("scores", lambda: score_pairs(pairs, cfg.use_cosine))
     edges = stage("edges", lambda: threshold_edges(scores, cfg.threshold))
 

@@ -1,0 +1,640 @@
+"""Driver-contract query catalog: every SQL-expressible operator from
+SURVEY.md §2 as a (Spark builder, DuckDB oracle SQL) pair.
+
+Conventions that make the driver's order-insensitive value-hash comparison
+work (see __spark_entry__.py docstring):
+
+* every computed column is aliased identically in Spark and SQL;
+* doubles are ``round(x, 6)`` and cast to double on BOTH sides;
+* portable hashing uses md5 hex strings (identical in Spark and DuckDB);
+  xxhash64-based operators (engine-internal) are exported rows-only;
+* timestamps are formatted to strings before output.
+
+Each builder takes (spark, sf_dir) and reads the driver's parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spel_spark.functions.normalize import norm_surface_col, norm_surface_sql
+from spel_spark.functions.similarity import (
+    cosine_sim,
+    levenshtein_sim,
+    token_jaccard,
+)
+
+MD5_SEEDS = ["s1", "s2", "s3", "s4"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(col):
+    return F.round(col, 6).cast("double")
+
+
+# --------------------------------------------------------------------------
+# classic relational coverage (scans/filters/aggs/windows — SURVEY §2.4-2.6)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity), 6) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(l_extendedprice), 6) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 6) AS DOUBLE) AS sum_disc_price,
+       CAST(round(avg(l_quantity), 6) AS DOUBLE) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders_per_cust(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, rk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= 3
+"""
+
+
+def q_occurrence_rank(spark, sf_dir):
+    """W5/J1: occurrence rank — the rank-join that replaces the reference's
+    stateful candidate consumption (src/spel/aida.py:48-50,79-84)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    return o.select(
+        "o_custkey", "o_orderstatus", "o_orderkey",
+        F.row_number().over(w).alias("occurrence_rank"),
+    )
+
+
+SQL_OCCURRENCE_RANK = """
+SELECT o_custkey, o_orderstatus, o_orderkey,
+       row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                          ORDER BY o_orderdate, o_orderkey) AS occurrence_rank
+FROM orders
+"""
+
+
+def q_consecutive_runs(spark, sf_dir):
+    """A4/W3 gaps-and-islands: runs of equal l_returnflag per order —
+    the phrase-building primitive (reference: src/spel/utils.py:389-396)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the driver's synthetic
+    # data; add l_returnflag for a deterministic total order
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_returnflag")
+    runs = li.withColumn(
+        "chg",
+        F.when(
+            F.lag("l_returnflag").over(w).isNull()
+            | (F.lag("l_returnflag").over(w) != F.col("l_returnflag")),
+            1,
+        ).otherwise(0),
+    ).withColumn("run_id", F.sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    return (
+        runs.groupBy("l_orderkey", "run_id", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("l_linenumber").alias("begin_line"),
+            F.max("l_linenumber").alias("end_line"),
+        )
+    )
+
+
+SQL_CONSECUTIVE_RUNS = """
+WITH marked AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CASE WHEN lag(l_returnflag) OVER w IS NULL
+                OR lag(l_returnflag) OVER w <> l_returnflag THEN 1 ELSE 0 END AS chg
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_returnflag)
+), runs AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_returnflag
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+  FROM marked)
+SELECT l_orderkey, run_id, l_returnflag,
+       count(*) AS run_len, min(l_linenumber) AS begin_line,
+       max(l_linenumber) AS end_line
+FROM runs GROUP BY l_orderkey, run_id, l_returnflag
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so ntz->ltz->epoch is
+    # exactly DuckDB's epoch(ts)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    s = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+    )
+    return s.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 3600 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_events_window_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _r6(F.sum("value")).alias("sum_value"))
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(*) AS n, CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# record-linkage operators (SURVEY §2 north-star set) over driver tables
+# --------------------------------------------------------------------------
+
+def q_norm_surface(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", norm_surface_col(F.col("p_name")).alias("norm_surface")
+    )
+
+
+SQL_NORM_SURFACE = (
+    f"SELECT p_partkey, {norm_surface_sql('p_name')} AS norm_surface FROM part"
+)
+
+
+def q_blocking_first_token(spark, sf_dir):
+    p = q_norm_surface(spark, sf_dir)
+    return p.select(
+        "p_partkey",
+        F.concat(F.lit("f:"), F.split("norm_surface", " ").getItem(0)).alias("block_key"),
+    )
+
+
+SQL_BLOCKING_FIRST_TOKEN = f"""
+SELECT p_partkey,
+       'f:' || string_split({norm_surface_sql('p_name')}, ' ')[1] AS block_key
+FROM part
+"""
+
+
+def q_pairs_exact_block(spark, sf_dir):
+    """J10 pair generation: self-join on the blocking key, a < b."""
+    b = q_blocking_first_token(spark, sf_dir)
+    a = b.select(F.col("p_partkey").alias("a_key"), "block_key")
+    c = b.select(F.col("p_partkey").alias("b_key"), "block_key")
+    return (
+        a.join(c, "block_key")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select("a_key", "b_key", "block_key")
+    )
+
+
+SQL_PAIRS_EXACT_BLOCK = f"""
+WITH b AS (
+  SELECT p_partkey,
+         'f:' || string_split({norm_surface_sql('p_name')}, ' ')[1] AS block_key
+  FROM part)
+SELECT a.p_partkey AS a_key, c.p_partkey AS b_key, a.block_key
+FROM b a JOIN b c USING (block_key)
+WHERE a.p_partkey < c.p_partkey
+"""
+
+
+def q_pair_scores(spark, sf_dir):
+    """X12/X13 scoring over blocked pairs: token jaccard + levenshtein sim
+    (JW is engine-internal, exported rows-only elsewhere)."""
+    p = q_norm_surface(spark, sf_dir)
+    pairs = q_pairs_exact_block(spark, sf_dir)
+    a = p.select(F.col("p_partkey").alias("a_key"), F.col("norm_surface").alias("a_norm"))
+    b = p.select(F.col("p_partkey").alias("b_key"), F.col("norm_surface").alias("b_norm"))
+    return (
+        pairs.join(a, "a_key").join(b, "b_key")
+        .select(
+            "a_key", "b_key",
+            _r6(token_jaccard(F.col("a_norm"), F.col("b_norm"))).alias("jacc"),
+            _r6(levenshtein_sim(F.col("a_norm"), F.col("b_norm"))).alias("lev_sim"),
+        )
+    )
+
+
+_SQL_PAIR_SCORES_BASE = f"""
+WITH n AS (
+  SELECT p_partkey, {norm_surface_sql('p_name')} AS norm_surface FROM part),
+b AS (
+  SELECT p_partkey, norm_surface,
+         'f:' || string_split(norm_surface, ' ')[1] AS block_key FROM n),
+pr AS (
+  SELECT a.p_partkey AS a_key, c.p_partkey AS b_key,
+         a.norm_surface AS a_norm, c.norm_surface AS b_norm
+  FROM b a JOIN b c USING (block_key)
+  WHERE a.p_partkey < c.p_partkey),
+tok AS (
+  SELECT *, list_distinct(string_split(a_norm, ' ')) AS ta,
+            list_distinct(string_split(b_norm, ' ')) AS tb
+  FROM pr)
+SELECT a_key, b_key,
+       CAST(round(CASE WHEN len(list_distinct(list_concat(ta, tb))) > 0
+            THEN len(list_intersect(ta, tb))::DOUBLE
+                 / len(list_distinct(list_concat(ta, tb)))
+            ELSE 0.0 END, 6) AS DOUBLE) AS jacc,
+       CAST(round(CASE WHEN greatest(length(a_norm), length(b_norm)) > 0
+            THEN 1.0 - levenshtein(a_norm, b_norm)::DOUBLE
+                 / greatest(length(a_norm), length(b_norm))
+            ELSE 1.0 END, 6) AS DOUBLE) AS lev_sim
+FROM tok
+"""
+
+SQL_PAIR_SCORES = _SQL_PAIR_SCORES_BASE
+
+
+def q_match_edges(spark, sf_dir):
+    """Threshold filter over scored pairs (the edge builder)."""
+    return q_pair_scores(spark, sf_dir).filter(F.col("jacc") >= 0.5).select(
+        "a_key", "b_key", "jacc"
+    )
+
+
+SQL_MATCH_EDGES = f"SELECT a_key, b_key, jacc FROM ({_SQL_PAIR_SCORES_BASE}) WHERE jacc >= 0.5"
+
+
+def q_pairwise_micro_f1(spark, sf_dir):
+    """A5 micro P/R/F1 as one aggregation over a deterministic pair sample:
+    gold = same event_type, predicted = same day (a stand-in classifier)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    a = ev.select(
+        F.col("user_id"), F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("a_type"),
+        F.date_format("ts", "yyyy-MM-dd").alias("a_day"),
+    )
+    b = ev.select(
+        F.col("user_id"), F.col("event_id").alias("b_id"),
+        F.col("event_type").alias("b_type"),
+        F.date_format("ts", "yyyy-MM-dd").alias("b_day"),
+    )
+    pairs = a.join(b, "user_id").filter(F.col("a_id") < F.col("b_id"))
+    g = F.col("a_type") == F.col("b_type")
+    p = F.col("a_day") == F.col("b_day")
+    agg = pairs.agg(
+        F.sum((g & p).cast("long")).alias("tp"),
+        F.sum((~g & p).cast("long")).alias("fp"),
+        F.sum((g & ~p).cast("long")).alias("fn"),
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return agg.select(
+        "tp", "fp", "fn",
+        _r6(prec).alias("precision"), _r6(rec).alias("recall"),
+        _r6(F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)).alias("f1"),
+    )
+
+
+SQL_PAIRWISE_MICRO_F1 = """
+WITH s AS (SELECT * FROM events WHERE event_id % 7 = 0),
+pairs AS (
+  SELECT a.event_type = b.event_type AS g,
+         strftime(a.ts, '%Y-%m-%d') = strftime(b.ts, '%Y-%m-%d') AS p
+  FROM s a JOIN s b ON a.user_id = b.user_id AND a.event_id < b.event_id),
+agg AS (
+  SELECT CAST(sum(CASE WHEN g AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN NOT g AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN g AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM pairs)
+SELECT tp, fp, fn,
+  CAST(round(tp::DOUBLE / greatest(tp + fp, 1), 6) AS DOUBLE) AS precision,
+  CAST(round(tp::DOUBLE / greatest(tp + fn, 1), 6) AS DOUBLE) AS recall,
+  CAST(round(CASE WHEN tp::DOUBLE / greatest(tp + fp, 1) + tp::DOUBLE / greatest(tp + fn, 1) > 0
+    THEN 2 * (tp::DOUBLE / greatest(tp + fp, 1)) * (tp::DOUBLE / greatest(tp + fn, 1))
+         / (tp::DOUBLE / greatest(tp + fp, 1) + tp::DOUBLE / greatest(tp + fn, 1))
+    ELSE 0.0 END, 6) AS DOUBLE) AS f1
+FROM agg
+"""
+
+
+def _md5_minhash_cols(norm_col):
+    """Portable MinHash: per seed, min over md5(seed || shingle) hex strings
+    (md5 is bit-identical in Spark and DuckDB; string min is total order)."""
+    n = F.length(norm_col)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    sh = F.array_distinct(F.transform(idx, lambda i: F.substr(norm_col, i, F.lit(3))))
+    def seeded(seed: str):
+        # one-arg lambda only: a two-arg lambda would become (element, index)
+        return F.array_min(
+            F.transform(sh, lambda g: F.md5(F.concat(F.lit(seed), g)))
+        )
+
+    return [seeded(s) for s in MD5_SEEDS]
+
+
+def q_minhash_signature(spark, sf_dir):
+    """A12 MinHash signature, portable md5 variant (4 seeds)."""
+    p = q_norm_surface(spark, sf_dir)
+    mh = _md5_minhash_cols(F.col("norm_surface"))
+    return p.select(
+        "p_partkey", *[c.alias(f"mh{i}") for i, c in enumerate(mh)]
+    )
+
+
+def _sql_shingles(expr):
+    return (
+        f"list_distinct(list_transform(range(1, greatest(length({expr}) - 2, 1) + 1), "
+        f"i -> substr({expr}, i::int, 3)))"
+    )
+
+
+SQL_MINHASH_SIGNATURE = f"""
+WITH n AS (SELECT p_partkey, {norm_surface_sql('p_name')} AS ns FROM part),
+sh AS (SELECT p_partkey, {_sql_shingles('ns')} AS grams FROM n)
+SELECT p_partkey,
+  list_min(list_transform(grams, g -> md5('s1' || g))) AS mh0,
+  list_min(list_transform(grams, g -> md5('s2' || g))) AS mh1,
+  list_min(list_transform(grams, g -> md5('s3' || g))) AS mh2,
+  list_min(list_transform(grams, g -> md5('s4' || g))) AS mh3
+FROM sh
+"""
+
+
+def q_lsh_band_keys(spark, sf_dir):
+    """LSH banding over the portable signature: 2 bands x 2 rows."""
+    sig = q_minhash_signature(spark, sf_dir)
+    return sig.select(
+        "p_partkey",
+        F.md5(F.concat(F.col("mh0"), F.col("mh1"))).alias("band0"),
+        F.md5(F.concat(F.col("mh2"), F.col("mh3"))).alias("band1"),
+    )
+
+
+SQL_LSH_BAND_KEYS = f"""
+SELECT p_partkey, md5(mh0 || mh1) AS band0, md5(mh2 || mh3) AS band1
+FROM ({SQL_MINHASH_SIGNATURE})
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: dedup / text analysis / embeddings (task brief)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash: per source, docs vs distinct texts."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct
+FROM documents GROUP BY source
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram (token-set) Jaccard near-dup pairs within a language block."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = d.select(F.col("doc_id").alias("a_doc"), "lang", F.col("toks").alias("ta"))
+    b = d.select(F.col("doc_id").alias("b_doc"), "lang", F.col("toks").alias("tb"))
+    pairs = a.join(b, "lang").filter(F.col("a_doc") < F.col("b_doc"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
+    return (
+        pairs.withColumn("jacc", _r6(jac))
+        .filter(F.col("jacc") >= 0.8)
+        .select("a_doc", "b_doc", "lang", "jacc")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents),
+p AS (
+  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, a.lang,
+         CAST(round(len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS DOUBLE) AS jacc
+  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+SELECT a_doc, b_doc, lang, jacc FROM p WHERE jacc >= 0.8
+"""
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within a label block — zip_with/
+    aggregate dot product, no UDF."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("a_vec"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("b_vec"), "label", F.col("v").alias("vb"))
+    pairs = a.join(b, "label").filter(F.col("a_vec") < F.col("b_vec"))
+    return (
+        pairs.withColumn("cos", _r6(cosine_sim(F.col("va"), F.col("vb"))))
+        .filter(F.col("cos") >= 0.95)
+        .select("a_vec", "b_vec", "label", "cos")
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS a_vec, b.vec_id AS b_vec, a.label,
+         CAST(round(list_cosine_similarity(a.v, b.v), 6) AS DOUBLE) AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT a_vec, b_vec, label, cos FROM p WHERE cos >= 0.95
+"""
+
+
+def q_ann_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k neighbors for the first 10 query vectors —
+    the exactness baseline for ANN (scale path: LSH/IVF bucketing)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pairs = q.crossJoin(e).filter(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id", F.col("vec_id").alias("nbr_id"),
+        cosine_sim(F.col("qv"), F.col("v")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "nbr_id", "rk", _r6(F.col("cos_raw")).alias("cos"))
+    )
+
+
+SQL_ANN_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+s AS (
+  SELECT q_id, e.vec_id AS nbr_id, list_cosine_similarity(qv, e.v) AS cos_raw
+  FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+r AS (
+  SELECT q_id, nbr_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, nbr_id) AS rk,
+         CAST(round(cos_raw, 6) AS DOUBLE) AS cos
+  FROM s)
+SELECT q_id, nbr_id, rk, cos FROM r WHERE rk <= 5
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    """Text quality scoring: token counts, uniqueness, mean token length,
+    BPE-ish length estimate (ceil(chars/4))."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        _r6(F.length("text") / F.size(toks)).alias("chars_per_token"),
+        F.ceil(F.length("text") / 4).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+       CAST(round(length(text)::DOUBLE / len(string_split(text, ' ')), 6) AS DOUBLE)
+         AS chars_per_token,
+       CAST(ceil(length(text)::DOUBLE / 4) AS BIGINT) AS est_bpe_tokens
+FROM documents
+"""
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+def q_lang_stopword_ratio(spark, sf_dir):
+    """Language-ID heuristic: English-stopword ratio per document."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin(_STOPWORDS))
+    )
+    return d.select(
+        "doc_id", "lang",
+        _r6(stop / F.size(toks)).alias("stop_ratio"),
+        (stop / F.size(toks) > 0.05).alias("looks_en"),
+    )
+
+
+SQL_LANG_STOPWORD = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> list_contains({_STOPWORDS}, x)))::DOUBLE
+           / len(toks) AS r
+  FROM t)
+SELECT doc_id, lang, CAST(round(r, 6) AS DOUBLE) AS stop_ratio,
+       r > 0.05 AS looks_en
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: min-md5 over word 5-grams (winnowing-lite,
+    portable)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - 5, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, 5)))
+    )
+    return d.select("doc_id", F.array_min(grams).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+  list_min(list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
+           i -> md5(array_to_string(toks[i+1:i+5], ' ')))) AS fingerprint
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# catalog (name -> (spark builder, duckdb oracle SQL or None))
+# --------------------------------------------------------------------------
+
+CATALOG: dict[str, tuple] = {
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "top_orders_per_cust": (q_top_orders_per_cust, SQL_TOP_ORDERS),
+    "occurrence_rank": (q_occurrence_rank, SQL_OCCURRENCE_RANK),
+    "consecutive_runs": (q_consecutive_runs, SQL_CONSECUTIVE_RUNS),
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
+    "events_window_agg": (q_events_window_agg, SQL_EVENTS_WINDOW),
+    "norm_surface": (q_norm_surface, SQL_NORM_SURFACE),
+    "blocking_first_token": (q_blocking_first_token, SQL_BLOCKING_FIRST_TOKEN),
+    "pairs_exact_block": (q_pairs_exact_block, SQL_PAIRS_EXACT_BLOCK),
+    "pair_scores": (q_pair_scores, SQL_PAIR_SCORES),
+    "match_edges": (q_match_edges, SQL_MATCH_EDGES),
+    "pairwise_micro_f1": (q_pairwise_micro_f1, SQL_PAIRWISE_MICRO_F1),
+    "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+    "lsh_band_keys": (q_lsh_band_keys, SQL_LSH_BAND_KEYS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
+    "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "lang_stopword_ratio": (q_lang_stopword_ratio, SQL_LANG_STOPWORD),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+}

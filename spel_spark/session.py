@@ -88,3 +88,20 @@ def get_spark(
         pass  # already added in this context, or read-only tmp — workers
         # then rely on PYTHONPATH (spark-submit --py-files on a cluster)
     return spark
+
+
+def warm_python_workers(spark: SparkSession) -> None:
+    """Pre-spawn the Python UDF worker pool (spawn + pandas/pyarrow import
+    is ~2 s per worker; on a real cluster workers are long-lived, so timed
+    runs should exclude this local-mode cold start)."""
+    from pyspark.sql import functions as F
+
+    # reuse a real engine UDF so the worker pool imports the same modules
+    from spel_spark.functions.similarity import jaro_winkler_udf
+
+    n = spark.sparkContext.defaultParallelism * 2
+    (
+        spark.range(n, numPartitions=n)
+        .select(jaro_winkler_udf(F.lit("warm"), F.lit("worm")))
+        .count()
+    )

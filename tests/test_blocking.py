@@ -76,7 +76,10 @@ def test_salted_pairs_dedup_across_families(spark):
 
 def test_surface_nodes_counts(spark):
     m = spark.createDataFrame(
-        [("search",), ("search",), ("kamora ledger",)], "norm_surface string"
+        [("search", 10), ("search", 7), ("kamora ledger", 3)],
+        "norm_surface string, mention_id long",
     )
-    got = {r.norm_surface: r.n_mentions for r in surface_nodes(m).collect()}
-    assert got == {"search": 2, "kamora ledger": 1}
+    rows = {r.norm_surface: r for r in surface_nodes(m).collect()}
+    assert rows["search"].n_mentions == 2
+    assert rows["search"].min_mention_id == 7
+    assert rows["kamora ledger"].n_mentions == 1

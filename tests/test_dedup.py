@@ -1,0 +1,62 @@
+"""Dedup operators: simhash, minhash near-dup, flagship doc clustering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spel_spark.operators.dedup import (
+    cluster_documents,
+    minhash_near_dup_pairs,
+    simhash64,
+    simhash_candidate_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "spark shuffles partitions across executors with hash partitioning"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "completely unrelated text about cooking pasta with tomato sauce basil"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_simhash_deterministic_and_exact_dup(spark, docs):
+    s1 = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    s2 = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert s1 == s2
+    assert s1[1] == s1[4]  # identical text -> identical simhash
+    assert s1[1] != s1[3]
+
+
+def test_simhash_near_dup_pairs(spark, docs):
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_candidate_pairs(simhash64(docs), max_hamming=16).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 16
+    assert (3, 5) not in pairs
+
+
+def test_minhash_near_dup_pairs(spark, docs):
+    got = {(r.a_id, r.b_id) for r in minhash_near_dup_pairs(docs, jaccard_threshold=0.8).collect()}
+    assert (1, 4) in got
+    assert (1, 2) in got
+    assert all(p[0] != 3 and p[1] != 3 for p in got)
+
+
+def test_cluster_documents_flagship(spark):
+    out = cluster_documents(spark, "/root/testdata/sf0.001")
+    n = out.count()
+    assert n == spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    # deterministic across runs
+    a = sorted((r.doc_id, r.cluster_id) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in cluster_documents(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert a == b
