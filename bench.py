@@ -155,9 +155,17 @@ def _run_level_main(threads: int, path: str, n_turns: int) -> None:
     from spel_spark.pipeline import run_pipeline
     from spel_spark.session import get_spark, warm_python_workers
 
+    # GC threads sized to the pinned core count: with the default (ncpu-
+    # derived) settings a pinned JVM runs 32 GC threads on 2 cores and
+    # thrashes, adding minutes of CPU-time variance between identical runs
+    gc_opts = (
+        f"-XX:+UseG1GC -XX:ParallelGCThreads={max(2, threads)} "
+        f"-XX:ConcGCThreads={max(1, threads // 2)}"
+    )
     spark = get_spark(
         app_name=f"spel_scaling_{threads}", master=f"local[{threads}]",
         shuffle_partitions=threads * 2,
+        extra_conf={"spark.driver.extraJavaOptions": gc_opts},
     )
     transcripts = spark.read.parquet(os.path.join(path, "transcripts"))
     redirects = spark.read.parquet(os.path.join(path, "redirects"))

@@ -120,16 +120,24 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
+    # Arrow transfer (toPandas) — toLocalIterator's py4j row streaming is
+    # ~10x slower and fully serial
+    pdf = edges.select("a_id", "b_id").toPandas()
     nodes: set[int] = set()
-    for row in edges.select("a_id", "b_id").toLocalIterator(prefetchPartitions=True):
-        a, b = row[0], row[1]
+    for a, b in zip(pdf["a_id"].to_numpy(), pdf["b_id"].to_numpy()):
+        a, b = int(a), int(b)
         nodes.add(a)
         nodes.add(b)
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    rows = [(n, find(n)) for n in nodes]
-    return spark.createDataFrame(rows, "node long, component long")
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"node": list(nodes), "component": [find(n) for n in nodes]},
+        dtype="int64",
+    )
+    return spark.createDataFrame(out, "node long, component long")
 
 
 def assign_clusters(

@@ -611,6 +611,68 @@ FROM t
 """
 
 
+def q_bioes_tagging(spark, sf_dir):
+    """W1: BIOES tags from an in-mention bitmap (lag/lead windows) over a
+    token stream derived from events (doc = user, token order = ts)."""
+    from spel_spark.operators.spans import bioes_tags
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tokens = ev.select(
+        F.col("user_id").alias("doc_id"),
+        F.row_number().over(w).alias("token_idx"),
+        (F.col("event_type") == "click").alias("is_in_mention"),
+    )
+    return bioes_tags(tokens).select("doc_id", "token_idx", "bioes", "bioes_code")
+
+
+SQL_BIOES = """
+WITH t AS (
+  SELECT user_id AS doc_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS token_idx,
+         event_type = 'click' AS cur
+  FROM events),
+n AS (
+  SELECT doc_id, token_idx, cur,
+         coalesce(lag(cur) OVER w, false) AS prev,
+         coalesce(lead(cur) OVER w, false) AS nxt
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY token_idx))
+SELECT doc_id, token_idx,
+  CASE WHEN NOT cur THEN 'O'
+       WHEN NOT prev AND NOT nxt THEN 'S'
+       WHEN NOT prev AND nxt THEN 'B'
+       WHEN prev AND nxt THEN 'I'
+       ELSE 'E' END AS bioes,
+  CASE WHEN NOT cur THEN 2
+       WHEN NOT prev AND NOT nxt THEN 4
+       WHEN NOT prev AND nxt THEN 0
+       WHEN prev AND nxt THEN 1
+       ELSE 3 END AS bioes_code
+FROM n
+"""
+
+
+def q_softmax_window(spark, sf_dir):
+    """X7: numerically-stable softmax of event values per user."""
+    from spel_spark.operators.spans import softmax_over_window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    out = softmax_over_window(ev, "value", ["user_id"])
+    return out.select("user_id", "event_id", _r6(F.col("softmax")).alias("softmax"))
+
+
+SQL_SOFTMAX = """
+WITH s AS (SELECT * FROM events WHERE event_id % 11 = 0),
+m AS (
+  SELECT user_id, event_id,
+         exp(value - max(value) OVER (PARTITION BY user_id)) AS e
+  FROM s)
+SELECT user_id, event_id,
+       CAST(round(e / sum(e) OVER (PARTITION BY user_id), 6) AS DOUBLE) AS softmax
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog (name -> (spark builder, duckdb oracle SQL or None))
 # --------------------------------------------------------------------------
@@ -637,4 +699,6 @@ CATALOG: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "lang_stopword_ratio": (q_lang_stopword_ratio, SQL_LANG_STOPWORD),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "bioes_tagging": (q_bioes_tagging, SQL_BIOES),
+    "softmax_window": (q_softmax_window, SQL_SOFTMAX),
 }

@@ -1,0 +1,132 @@
+"""Resource dimension sources (reference operators S2-S5).
+
+* PPRforNED candidate files (S2): ENTITY/CANDIDATE key:value TSV lines,
+  one member file per document inside a zip (reference: src/spel/aida.py:
+  92-187).  A zip-member-per-doc layout is a Spark anti-pattern, so the
+  normalized form is two tables — candidate_records (one row per ENTITY
+  line, ranked per doc) and candidates (one row per CANDIDATE line) —
+  parsed from the concatenated text with builtins only.
+* canonical redirects + candidate JSONs (S3): spark.read.json ->
+  broadcast dimensions (reference: src/spel/configuration.py:39-53,
+  src/spel/candidate_manager.py:31-56).
+* newline vocab -> dense ids (S4): file order = id order after the two
+  reserved slots {'|||O|||': 0, '<pad>': 1} (reference:
+  src/spel/configuration.py:64-70).
+* gzipped JSONL training records (S5): spark.read.json handles .gz
+  natively (reference uses a torchdata tar pipe, data_loader.py:154-178).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RESERVED_VOCAB = ["|||O|||", "<pad>"]  # configuration.py:65
+
+
+def _kv(cols: F.Column, key: str) -> F.Column:
+    """Extract `key:value` cell from a split TSV line (aida.py:103-125)."""
+    hit = F.filter(cols, lambda c: c.startswith(f"{key}:"))
+    return F.when(
+        F.size(hit) > 0, F.substr(hit.getItem(0), F.lit(len(key) + 2), F.length(hit.getItem(0)))
+    )
+
+
+def read_ppr_candidates(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Parse PPRforNED-format text (one file per doc, filename = doc_id+1).
+
+    Returns (candidate_records, candidates):
+      candidate_records: doc_id, record_idx, text, normal_name,
+        predicted_type, qid, orig_text, non_considered_word_count, url
+      candidates: doc_id, record_idx, id, in_count, out_count, url, name,
+        normal_name, normal_wiki_title, predicted_type
+    """
+    raw = (
+        spark.read.text(path)
+        .withColumn("file", F.input_file_name())
+        .withColumn("mono", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("file").orderBy("mono")
+    # member filename is str(doc_id + 1)  (aida.py:180)
+    doc_id = (
+        F.regexp_extract(F.col("file"), r"([0-9]+)[^/]*$", 1).cast("int") - 1
+    )
+    lines = (
+        raw.withColumn("line_no", F.row_number().over(w))
+        .withColumn("doc_id", doc_id)
+        .filter(F.length(F.trim("value")) > 0)
+    )
+    is_entity = F.col("value").startswith("ENTITY")
+    cum = Window.partitionBy("file").orderBy("line_no").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = lines.withColumn("record_idx", F.sum(is_entity.cast("int")).over(cum) - 1)
+    cols = F.split(F.col("value"), "\t")
+
+    records = marked.filter(is_entity).select(
+        "doc_id", "record_idx",
+        _kv(cols, "text").alias("text"),
+        _kv(cols, "normalName").alias("normal_name"),
+        _kv(cols, "predictedType").alias("predicted_type"),
+        _kv(cols, "qid").alias("qid"),
+        _kv(cols, "origText").alias("orig_text"),
+        F.size(F.split(_kv(cols, "origText"), " ")).alias("non_considered_word_count"),
+        _kv(cols, "url").alias("url"),
+    )
+    cands = marked.filter(F.col("value").startswith("CANDIDATE")).select(
+        "doc_id", "record_idx",
+        _kv(cols, "id").alias("id"),
+        _kv(cols, "inCount").cast("int").alias("in_count"),
+        _kv(cols, "outCount").cast("int").alias("out_count"),
+        _kv(cols, "url").alias("url"),
+        _kv(cols, "name").alias("name"),
+        _kv(cols, "normalName").alias("normal_name"),
+        _kv(cols, "normalWikiTitle").alias("normal_wiki_title"),
+        _kv(cols, "predictedType").alias("predicted_type"),
+    )
+    return records, cands
+
+
+def read_vocab(spark: SparkSession, path: str) -> DataFrame:
+    """Newline-delimited titles -> (entity_id, entity_title); ids follow
+    file order after the reserved slots (S4)."""
+    raw = (
+        spark.read.text(path)
+        .withColumn("file", F.input_file_name())
+        .withColumn("mono", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("file").orderBy("mono")
+    reserved = spark.createDataFrame(
+        list(enumerate(RESERVED_VOCAB)), "entity_id int, entity_title string"
+    )
+    titles = raw.select(
+        (F.row_number().over(w) + len(RESERVED_VOCAB) - 1).alias("entity_id"),
+        F.col("value").alias("entity_title"),
+    )
+    return reserved.unionByName(titles)
+
+
+def read_redirects_json(spark: SparkSession, path: str) -> DataFrame:
+    """`{alias: canonical, ...}` JSON object -> (alias, canonical) rows.
+
+    A single JSON dict maps to one wide row in spark.read.json; unpivot
+    via the stack of key columns (the dimension is small — driver JSON
+    parse is also acceptable, but this stays engine-side).
+    """
+    import json
+
+    # dimension files are small (reference: aida_canonical_redirects.json);
+    # read distributed then unpivot column-per-key
+    df = spark.read.option("multiLine", True).json(path)
+    pairs = [(k, df.first()[k]) for k in df.columns]
+    return spark.createDataFrame(pairs, "alias string, canonical string")
+
+
+def read_jsonl_gz(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:
+    """S5: gzipped JSONL — native to spark.read.json (supply the schema;
+    never inferSchema on the hot path, SURVEY §1.3)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

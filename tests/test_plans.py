@@ -1,0 +1,53 @@
+"""Plan-quality audit: no row-Python on the hot path; pushdown; broadcast."""
+
+from pyspark.sql import functions as F
+
+from spel_spark.operators.blocking import anchor_pairs, blocking_keys, surface_nodes
+from spel_spark.operators.mentions import extract_mentions, with_mention_id, with_norm_surface
+from spel_spark.operators.scoring import score_pairs, threshold_edges
+from spel_spark.plans import (
+    assert_no_row_python,
+    count_arrow_eval_nodes,
+    physical_plan,
+    scan_summary,
+)
+
+
+def test_no_row_python_anywhere(spark, transcripts_df, corpus):
+    redirects = spark.createDataFrame(corpus.redirects)
+    mentions = with_mention_id(with_norm_surface(extract_mentions(transcripts_df), redirects))
+    surfaces = surface_nodes(mentions)
+    pairs = anchor_pairs(blocking_keys(surfaces))
+    edges = threshold_edges(score_pairs(pairs))
+    for df in [mentions, surfaces, pairs, edges]:
+        assert_no_row_python(df)
+
+
+def test_builtin_extractor_has_zero_python(spark, transcripts_df):
+    m = extract_mentions(transcripts_df)
+    plan = physical_plan(m)
+    assert "EvalPython" not in plan  # neither Arrow nor Batch — pure JVM
+    assert "Exchange" not in plan    # zero-shuffle narrow map
+
+
+def test_scoring_is_arrow_only(spark, transcripts_df, corpus):
+    redirects = spark.createDataFrame(corpus.redirects)
+    mentions = with_mention_id(with_norm_surface(extract_mentions(transcripts_df), redirects))
+    scored = score_pairs(anchor_pairs(blocking_keys(surface_nodes(mentions))))
+    assert count_arrow_eval_nodes(scored) >= 1  # the JW pandas UDF
+    assert_no_row_python(scored)
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    s = scan_summary(q)
+    assert any("l_quantity" in f for f in s["pushed_filters"]), s
+    # column pruning: scan must not read all 11 columns
+    assert all("l_extendedprice" not in rs for rs in s["read_schemas"]), s
+
+
+def test_redirect_join_broadcasts(spark, transcripts_df, corpus):
+    redirects = spark.createDataFrame(corpus.redirects)
+    m = with_norm_surface(extract_mentions(transcripts_df), redirects)
+    assert scan_summary(m)["has_broadcast"]

@@ -1,0 +1,120 @@
+"""Source adapters: AIDA TSV, PPRforNED candidates, vocab, redirects,
+gzipped JSONL — format-identical synthetic fixtures (the reference's data
+files are license-gated and absent from its snapshot)."""
+
+import gzip
+import json
+import os
+
+from spel_spark.sources.aida import mention_candidate_rank_join, read_aida_tsv, split_of
+from spel_spark.sources.resources import (
+    read_jsonl_gz,
+    read_ppr_candidates,
+    read_redirects_json,
+    read_vocab,
+)
+
+AIDA_TSV = """-DOCSTART- (1 EU)
+EU\tB\tEU\t--NME--
+rejects\tO
+German\tB\tGerman\tGermany\thttp://en.wikipedia.org/wiki/Germany\t11867\t/m/0345h
+call\tO
+
+second\tO
+sentence\tO
+-DOCSTART- (947testa CRICKET)
+LEICESTERSHIRE\tB\tLeicestershire\tLeicestershire_County_Cricket_Club\thttp://en.wikipedia.org/wiki/Leicestershire_County_Cricket_Club\t247747
+"""
+
+
+def test_read_aida_tsv(spark, tmp_path):
+    p = tmp_path / "aida.tsv"
+    p.write_text(AIDA_TSV)
+    df = read_aida_tsv(spark, str(p))
+    rows = {
+        (r.doc_id, r.token): r for r in df.collect()
+    }
+    assert len(rows) == 7
+    eu = rows[(1, "EU")]
+    assert (eu.bio, eu.full_mention, eu.yago_entity) == ("B", "EU", "--NME--")
+    german = rows[(1, "German")]
+    assert german.wiki_id == "11867" and german.freebase_mid == "/m/0345h"
+    assert german.sentence_idx == rows[(1, "EU")].sentence_idx
+    assert rows[(1, "second")].sentence_idx > german.sentence_idx
+    lei = rows[(2, "LEICESTERSHIRE")]
+    assert lei.doc_header == "947testa CRICKET"
+    sp = {r.doc_header: r.s for r in df.select(
+        "doc_header", split_of(df["doc_header"]).alias("s")).distinct().collect()}
+    assert sp == {"1 EU": "train", "947testa CRICKET": "testa"}
+    # token_idx dense per doc
+    idx = sorted(r.token_idx for r in df.filter("doc_id = 1").collect())
+    assert idx == list(range(len(idx)))
+
+
+PPR_DOC_1 = """ENTITY\ttext:EU\tnormalName:eu\tpredictedType:ORG\tq:true\tqid:Q123\tdocId:1\torigText:EU\turl:http://en.wikipedia.org/wiki/EU
+CANDIDATE\tid:123\tinCount:10\toutCount:5\tlinks:0\turl:http://en.wikipedia.org/wiki/European_Union\tname:European Union\tnormalName:european union\tnormalWikiTitle:european_union\tpredictedType:ORG
+CANDIDATE\tid:456\tinCount:2\toutCount:1\tlinks:0\turl:http://en.wikipedia.org/wiki/Europe\tname:Europe\tnormalName:europe\tnormalWikiTitle:europe\tpredictedType:LOC
+ENTITY\ttext:German\tnormalName:german\tpredictedType:MISC\tq:true\tqid:Q183\tdocId:1\torigText:German call\turl:http://en.wikipedia.org/wiki/Germany
+CANDIDATE\tid:789\tinCount:99\toutCount:3\tlinks:0\turl:http://en.wikipedia.org/wiki/Germany\tname:Germany\tnormalName:germany\tnormalWikiTitle:germany\tpredictedType:LOC
+"""
+
+
+def test_read_ppr_candidates(spark, tmp_path):
+    d = tmp_path / "ppr"
+    d.mkdir()
+    (d / "2").write_text(PPR_DOC_1)  # member name = doc_id + 1
+    records, cands = read_ppr_candidates(spark, str(d))
+    recs = {r.record_idx: r for r in records.collect()}
+    assert len(recs) == 2
+    assert recs[0].doc_id == 1 and recs[0].orig_text == "EU"
+    assert recs[1].non_considered_word_count == 2  # "German call"
+    cs = sorted((r.record_idx, r.id, r.in_count) for r in cands.collect())
+    assert cs == [(0, "123", 10), (0, "456", 2), (1, "789", 99)]
+
+
+def test_mention_candidate_rank_join(spark):
+    tokens = spark.createDataFrame(
+        [(1, 0, "B", "EU"), (1, 3, "B", "EU"), (1, 5, "B", "Bonn")],
+        "doc_id int, token_idx int, bio string, full_mention string",
+    )
+    records = spark.createDataFrame(
+        [(1, 0, "EU"), (1, 1, "EU"), (1, 2, "Bonn")],
+        "doc_id int, record_idx int, orig_text string",
+    )
+    out = mention_candidate_rank_join(tokens, records)
+    got = {(r.token_idx, r.record_idx) for r in out.collect()}
+    # first EU token consumes first EU record, second the second (J1)
+    assert got == {(0, 0), (3, 1), (5, 2)}
+
+
+def test_read_vocab(spark, tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("Germany\nEuropean_Union\nBonn\n")
+    v = {r.entity_title: r.entity_id for r in read_vocab(spark, str(p)).collect()}
+    assert v == {"|||O|||": 0, "<pad>": 1, "Germany": 2, "European_Union": 3, "Bonn": 4}
+
+
+def test_read_redirects_json(spark, tmp_path):
+    p = tmp_path / "redirects.json"
+    p.write_text(json.dumps({"Wash._Post": "The_Washington_Post", "EU": "European_Union"}))
+    got = {r.alias: r.canonical for r in read_redirects_json(spark, str(p)).collect()}
+    assert got["Wash._Post"] == "The_Washington_Post"
+    assert got["EU"] == "European_Union"
+
+
+def test_read_jsonl_gz(spark, tmp_path):
+    p = tmp_path / "train.jsonl.gz"
+    rows = [
+        {"tokens": ["a", "b"], "mentions": [["X"]], "mention_probs": [[1.0]]},
+        {"tokens": ["c"], "mentions": [[]], "mention_probs": [[]]},
+    ]
+    with gzip.open(p, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = (
+        "tokens array<string>, mentions array<array<string>>, "
+        "mention_probs array<array<double>>"
+    )
+    df = read_jsonl_gz(spark, str(p), schema)
+    got = sorted(r.tokens for r in df.collect())
+    assert got == [["a", "b"], ["c"]]
