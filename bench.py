@@ -50,7 +50,6 @@ def run_headline() -> None:
     headline = {
         "tpch_q1": lambda: Q.q_tpch_q1(spark, SF_DIR),
         "pair_scores": lambda: Q.q_pair_scores(spark, SF_DIR),
-        "match_edges": lambda: Q.q_match_edges(spark, SF_DIR),
         "minhash_signature": lambda: Q.q_minhash_signature(spark, SF_DIR),
         "dedup_ngram_jaccard": lambda: Q.q_dedup_ngram_jaccard(spark, SF_DIR),
         "dedup_embedding_cosine": lambda: Q.q_dedup_embedding_cosine(spark, SF_DIR),
