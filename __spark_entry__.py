@@ -103,11 +103,32 @@ def _q_er_f1_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_micro_f1(resolve_labeled_pairs(labeled, clusters))
 
 
+def _q_pairs_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spel_spark.queries import q_pairs_engine
+
+    return q_pairs_engine(spark, sf_dir)
+
+
+def _q_pair_scores_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spel_spark.queries import q_pair_scores_engine
+
+    return q_pair_scores_engine(spark, sf_dir)
+
+
+def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spel_spark.queries import q_dedup_minhash_pairs
+
+    return q_dedup_minhash_pairs(spark, sf_dir)
+
+
 _ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": _q_simhash_dedup,
     "minhash_doc_clusters": _q_minhash_doc_clusters,
     "jaro_winkler_scores": _q_jaro_winkler_scores,
     "er_f1_synthetic": _q_er_f1_synthetic,
+    "pairs_engine": _q_pairs_engine,
+    "pair_scores_engine": _q_pair_scores_engine,
+    "dedup_minhash_pairs": _q_dedup_minhash_pairs,
 }
 
 

@@ -23,7 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # scaling corpus: seeded 400k-turn base, replicated in Spark (distinct
 # conv_ids) to this size so parallel work dominates fixed costs
-SCALING_TURNS = int(os.environ.get("SPEL_BENCH_TURNS", "4000000"))
+SCALING_TURNS = int(os.environ.get("SPEL_BENCH_TURNS", "8000000"))
 BASE_TURNS = 400000
 CACHE_DIR = os.environ.get("SPEL_BENCH_CACHE", "/tmp/spel_bench_cache")
 os.environ.setdefault("SPEL_DRIVER_MEM", "48g")
@@ -47,11 +47,18 @@ def run_headline() -> None:
     )
     sf = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else -1.0
 
+    # The headline times the ENGINE paths (anchor/salted pair generation,
+    # bucketed MinHash-LSH dedup) — the plans that survive 100x scale.  The
+    # quadratic all-pairs forms (pairs_exact_block, dedup_ngram_jaccard)
+    # exist only as sf0.01 DuckDB-parity oracles and are deliberately NOT
+    # benched (round-1 verdict: "bench the engine pair-generation path,
+    # not the oracle parity queries").
     headline = {
         "tpch_q1": lambda: Q.q_tpch_q1(spark, SF_DIR),
-        "pair_scores": lambda: Q.q_pair_scores(spark, SF_DIR),
+        "pairs_engine": lambda: Q.q_pairs_engine(spark, SF_DIR),
+        "pair_scores_engine": lambda: Q.q_pair_scores_engine(spark, SF_DIR),
         "minhash_signature": lambda: Q.q_minhash_signature(spark, SF_DIR),
-        "dedup_ngram_jaccard": lambda: Q.q_dedup_ngram_jaccard(spark, SF_DIR),
+        "dedup_minhash_pairs": lambda: Q.q_dedup_minhash_pairs(spark, SF_DIR),
         "dedup_embedding_cosine": lambda: Q.q_dedup_embedding_cosine(spark, SF_DIR),
         "ann_topk_cosine": lambda: Q.q_ann_topk_cosine(spark, SF_DIR),
         "text_stats": lambda: Q.q_text_stats(spark, SF_DIR),
@@ -70,13 +77,25 @@ def run_headline() -> None:
         times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+    # attach the latest scaling-run evidence (north rule) if present, so the
+    # per-round BENCH_r{N}.json carries the checkable JSON artifact
+    scaling_json = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "SCALING.json"
+    )
+    if os.path.exists(scaling_json):
+        try:
+            with open(scaling_json) as f:
+                out["scaling"] = json.load(f)
+        except Exception:
+            pass
+    print(json.dumps(out))
 
 
 def _er_pipeline(spark, n_turns: int):
@@ -124,7 +143,7 @@ def _prepare_scaling_cache(n_turns: int) -> str:
     return path
 
 
-def _run_scaling_level(path: str, threads: int, n_turns: int) -> dict:
+def _run_scaling_level(path: str, threads: int, n_turns: int, mode: str = "fused") -> dict:
     """Run one parallelism level in a CPU-PINNED subprocess.
 
     ``taskset -c 0..N-1`` confines the whole process tree (JVM, GC threads,
@@ -139,7 +158,7 @@ def _run_scaling_level(path: str, threads: int, n_turns: int) -> dict:
 
     cmd = [
         sys.executable, os.path.abspath(__file__),
-        "--run-level", str(threads), path, str(n_turns),
+        "--run-level", str(threads), path, str(n_turns), mode,
     ]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{threads - 1}"] + cmd
@@ -150,7 +169,7 @@ def _run_scaling_level(path: str, threads: int, n_turns: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def _run_level_main(threads: int, path: str, n_turns: int) -> None:
+def _run_level_main(threads: int, path: str, n_turns: int, mode: str = "fused") -> None:
     from spel_spark.pipeline import run_pipeline
     from spel_spark.session import get_spark, warm_python_workers
 
@@ -170,17 +189,64 @@ def _run_level_main(threads: int, path: str, n_turns: int) -> None:
     redirects = spark.read.parquet(os.path.join(path, "redirects"))
     transcripts.count()  # warm metadata + page cache
     warm_python_workers(spark)  # exclude local-mode worker cold start
-    t0 = time.time()
-    clusters = run_pipeline(spark, transcripts, store=None, redirects=redirects)
-    n_rows = clusters.count()
-    wall = time.time() - t0
-    spark.stop()
-    print(json.dumps({
-        "threads": threads,
+    out: dict = {"threads": threads, "mode": mode}
+    if mode == "staged":
+        out["stages"], wall, n_rows = _run_staged(spark, transcripts, redirects)
+    else:
+        t0 = time.time()
+        clusters = run_pipeline(spark, transcripts, store=None, redirects=redirects)
+        n_rows = clusters.count()
+        wall = time.time() - t0
+    out.update({
         "wall_sec": round(wall, 1),
         "turns_per_sec": round(n_turns / wall, 1),
         "cluster_rows": n_rows,
-    }))
+    })
+    spark.stop()
+    print(json.dumps(out))
+
+
+def _run_staged(spark, transcripts, redirects):
+    """Pipeline with a materialization barrier (persist+count) after each
+    stage — the per-stage instrumented protocol.  Identical operators to
+    run_pipeline; the barriers cost a little pipelining but let each
+    stage's scaling be measured independently."""
+    from spel_spark.operators.blocking import anchor_pairs, blocking_keys, surface_nodes
+    from spel_spark.operators.clustering import assign_clusters, connected_components
+    from spel_spark.operators.mentions import (
+        extract_mentions, with_mention_id, with_norm_surface,
+    )
+    from spel_spark.operators.scoring import score_pairs, threshold_edges
+
+    stages: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t0 = time.time()
+        r = thunk()
+        stages[name] = round(time.time() - t0, 2)
+        return r
+
+    t_all = time.time()
+    mentions = with_mention_id(with_norm_surface(extract_mentions(transcripts), redirects))
+    surfaces = timed(
+        "extract_surfaces",
+        lambda: _counted(surface_nodes(mentions).persist()),
+    )
+    blocks = timed("blocks", lambda: _counted(blocking_keys(surfaces).persist()))
+    pairs = timed("pairs", lambda: _counted(anchor_pairs(blocks).persist()))
+    edges = timed(
+        "score_edges", lambda: _counted(threshold_edges(score_pairs(pairs)).persist())
+    )
+    comps = timed("cc", lambda: _counted(connected_components(edges).persist()))
+    clusters = timed(
+        "assign", lambda: _counted(assign_clusters(mentions, surfaces, comps).persist())
+    )
+    return stages, time.time() - t_all, clusters.count()
+
+
+def _counted(df):
+    df.count()
+    return df
 
 
 # N and 4N parallelism levels for the scaling rule.  Default 2 -> 8:
@@ -200,9 +266,15 @@ def run_scaling() -> None:
     # host benching practice)
     n_runs = int(os.environ.get("SPEL_BENCH_RUNS", "2"))
     runs: dict[int, list] = {lo_threads: [], hi_threads: []}
+    staged: dict[int, list] = {lo_threads: [], hi_threads: []}
     for _ in range(n_runs):
         for threads in (lo_threads, hi_threads):
             runs[threads].append(_run_scaling_level(path, threads, SCALING_TURNS))
+    for _ in range(int(os.environ.get("SPEL_BENCH_STAGED_RUNS", "1"))):
+        for threads in (lo_threads, hi_threads):
+            staged[threads].append(
+                _run_scaling_level(path, threads, SCALING_TURNS, mode="staged")
+            )
     lo = min(runs[lo_threads], key=lambda r: r["wall_sec"])
     hi = min(runs[hi_threads], key=lambda r: r["wall_sec"])
     speedup = hi["turns_per_sec"] / lo["turns_per_sec"]
@@ -216,8 +288,49 @@ def run_scaling() -> None:
         "high": hi,
         "speedup": round(speedup, 3),
     }
+    if staged[lo_threads] and staged[hi_threads]:
+        slo = min(staged[lo_threads], key=lambda r: r["wall_sec"])
+        shi = min(staged[hi_threads], key=lambda r: r["wall_sec"])
+        per_stage = {}
+        for name in slo.get("stages", {}):
+            lo_s, hi_s = slo["stages"][name], shi["stages"].get(name, 0.0)
+            per_stage[name] = {
+                "lo_sec": lo_s,
+                "hi_sec": hi_s,
+                "eff": round(lo_s / hi_s / 4.0, 3) if hi_s > 0 else None,
+            }
+        result["staged"] = {
+            "low": slo,
+            "high": shi,
+            "stage_eff": per_stage,
+            "fused_eff": round(slo["wall_sec"] / shi["wall_sec"] / 4.0, 3),
+        }
     print(json.dumps(result))
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "SCALING.json"), "w") as f:
+        json.dump(result, f, indent=1)
     _write_bench_md(result)
+
+
+def _stage_md(r: dict) -> str:
+    s = r.get("staged")
+    if not s:
+        return ""
+    lines = [
+        "## Per-stage instrumented run (same corpus, persist+count barrier "
+        "after each stage)\n",
+        "| stage | N wall (s) | 4N wall (s) | efficiency |",
+        "|---|---|---|---|",
+    ]
+    for name, v in s["stage_eff"].items():
+        lines.append(f"| {name} | {v['lo_sec']} | {v['hi_sec']} | {v['eff']} |")
+    lines.append(
+        f"\nstaged-run fused efficiency: **{s['fused_eff']}** "
+        "(barriers make each stage separately measurable; the headline "
+        "efficiency above is the fully-fused pipeline)\n\n"
+    )
+    return "\n".join(lines)
 
 
 def _write_bench_md(r: dict) -> None:
@@ -238,6 +351,7 @@ def _write_bench_md(r: dict) -> None:
             f"| local[{hi_t}] (4N) | {r['high']['wall_sec']} | {r['high']['turns_per_sec']} |\n\n"
             f"speedup {lo_t}->{hi_t}: **{r['speedup']}x**;  scaling "
             f"efficiency (speedup/4): **{r['value']}** (target >= 0.8)\n\n"
+            + _stage_md(r) +
             f"Why N={lo_t}: a multiprocessing probe shows this sandbox VM "
             "sustains only ~11 cores of aggregate CPU throughput despite "
             "nproc=32 (8->32 parallel processes gain just 1.68x on pure "
@@ -257,7 +371,8 @@ def _write_bench_md(r: dict) -> None:
 if __name__ == "__main__":
     if "--run-level" in sys.argv:
         i = sys.argv.index("--run-level")
-        _run_level_main(int(sys.argv[i + 1]), sys.argv[i + 2], int(sys.argv[i + 3]))
+        mode = sys.argv[i + 4] if len(sys.argv) > i + 4 else "fused"
+        _run_level_main(int(sys.argv[i + 1]), sys.argv[i + 2], int(sys.argv[i + 3]), mode)
     elif "--scaling" in sys.argv:
         run_scaling()
     else:

@@ -63,12 +63,22 @@ class CheckpointStore:
         return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
 
     def _table(self, name: str) -> str:
-        return f"spel.db.{name}"
+        # namespace derived from base_dir: two pipeline runs with different
+        # --output dirs must NOT share a table namespace (else resume=True
+        # silently reads another run's committed stages)
+        import hashlib
+
+        ns = "db_" + hashlib.md5(os.path.abspath(self.base_dir).encode()).hexdigest()[:12]
+        return f"spel.{ns}.{name}"
 
     def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
         """Atomically (re)commit a stage output."""
         if self.backend == "iceberg":
             writer = df.writeTo(self._table(name))
+            if partition_by:
+                from pyspark.sql import functions as _F
+
+                writer = writer.partitionedBy(*[_F.col(c) for c in partition_by])
             writer.createOrReplace()
             return
         final = self._path(name)
@@ -99,21 +109,48 @@ class CheckpointStore:
                 shutil.rmtree(p)
 
     # -- lineage ---------------------------------------------------------
-    def append_lineage(self, stage: str, df: DataFrame, extra: dict | None = None) -> None:
+    N_HIST_BUCKETS = 10
+
+    def append_lineage(
+        self,
+        stage: str,
+        df: DataFrame,
+        extra: dict | None = None,
+        score_col: str | None = None,
+    ) -> None:
         """Append per-partition lineage rows for a committed stage.
 
-        Schema: stage, partition_id, rows, backend, wall_ts (float epoch
-        seconds), plus a JSON blob of extras (e.g. score histogram).
-        The north rule: "every stage writes per-partition lineage rows".
+        Schema: stage, partition_id, rows, score_histogram ARRAY<BIGINT>,
+        backend, wall_ts (float epoch seconds), extra JSON blob (SURVEY
+        §1.4 / north rule: "per-partition lineage rows ... score
+        histograms").  When ``score_col`` names a [0,1] double column, the
+        histogram is 10 equal-width bucket counts (last bucket closed);
+        otherwise an empty array.
         """
+        if score_col is not None and score_col in df.columns:
+            bucket = F.least(
+                F.floor(F.col(score_col) * self.N_HIST_BUCKETS).cast("int"),
+                F.lit(self.N_HIST_BUCKETS - 1),
+            )
+            hist = F.array(
+                *[
+                    F.sum((bucket == i).cast("long")).alias(f"h{i}")
+                    for i in range(self.N_HIST_BUCKETS)
+                ]
+            )
+        else:
+            hist = F.array().cast("array<bigint>")
         per_part = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("rows"))
+            .agg(F.count(F.lit(1)).alias("rows"), hist.alias("score_histogram"))
             .withColumn("stage", F.lit(stage))
             .withColumn("backend", F.lit(self.backend))
             .withColumn("wall_ts", F.lit(float(time.time())))
             .withColumn("extra", F.lit(str(extra or {})))
-            .select("stage", "partition_id", "rows", "backend", "wall_ts", "extra")
+            .select(
+                "stage", "partition_id", "rows", "score_histogram",
+                "backend", "wall_ts", "extra",
+            )
         )
         path = self._path("_lineage")
         per_part.write.mode("append").parquet(path)

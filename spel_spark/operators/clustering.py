@@ -165,8 +165,13 @@ def assign_clusters(
         "norm_surface", "cluster_id"
     )
     # no broadcast hint: Catalyst/AQE broadcasts while the surface table is
-    # small and falls back to sort-merge when it isn't (10^9-surface scale)
-    return mentions.join(surf_cluster, "norm_surface").select(
+    # small and falls back to sort-merge when it isn't (10^9-surface scale).
+    # LEFT join + singleton fallback: a mention whose surface normalizes to
+    # '' (punctuation/emoji-only) has no surface node — it becomes its own
+    # singleton cluster instead of silently vanishing, preserving the
+    # clusters.count() == mentions.count() invariant on real-world text.
+    return mentions.join(surf_cluster, "norm_surface", "left").select(
         "mention_id", "conv_id", "turn_idx", "begin_char", "end_char",
-        "surface", "norm_surface", "cluster_id",
+        "surface", "norm_surface",
+        F.coalesce("cluster_id", "mention_id").alias("cluster_id"),
     )

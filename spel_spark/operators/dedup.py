@@ -86,14 +86,21 @@ def simhash_candidate_pairs(
 def _word_minhash_bands(
     docs: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, bands: int = 8
 ) -> DataFrame:
-    """MinHash over word token sets, banded (engine-internal xxhash64)."""
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    """MinHash over word token sets, banded (engine-internal xxhash64).
 
-    def seeded(seed: int):
-        return F.array_min(F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed))))
-
-    sig = docs.select(
-        F.col(id_col), *[seeded(200 + i).alias(f"mh_{i}") for i in range(n_hashes)]
+    One explode + one groupBy with ``n_hashes`` min-aggregations: the token
+    split is computed once per document (not once per hash), and the mins
+    are map-side combinable, so Zipf-hot tokens never concentrate a key.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    sig = toks.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("tok", F.lit(200 + i))).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
     )
     r = n_hashes // bands
     band_cols = [
@@ -119,9 +126,11 @@ def minhash_near_dup_pairs(
     cands = (
         a.join(b, "band").filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
     )
+    # token sets are consumed by BOTH sides of the verify join; persist so
+    # the scan + split happens once, not once per side
     t = docs.select(
         F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("toks")
-    )
+    ).persist()
     ta = t.select(F.col(id_col).alias("a_id"), F.col("toks").alias("ta"))
     tb = t.select(F.col(id_col).alias("b_id"), F.col("toks").alias("tb"))
     jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
@@ -145,13 +154,17 @@ def cluster_documents(
     pipeline (SURVEY §7 step 2), exercising A12/J10/J11/X13 end to end.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    edges = minhash_near_dup_pairs(docs, jaccard_threshold=jaccard_threshold)
+    # persist the LSH-verify join: connected_components executes it once
+    # for its backend-selection count and once more when collecting edges —
+    # without the persist the most expensive stage of the whole flow runs
+    # twice (round-1 finding: 210 s for 5k docs, dominated by recompute)
+    edges = minhash_near_dup_pairs(docs, jaccard_threshold=jaccard_threshold).persist()
     comps = connected_components(edges)
     out = (
         docs.select("doc_id")
         .join(comps, docs["doc_id"] == comps["node"], "left")
         .withColumn("cluster_id", F.coalesce("component", "doc_id"))
         .select("doc_id", "cluster_id")
-    )
+    ).persist()  # consumed twice: sizes aggregation + final join
     sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return out.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")

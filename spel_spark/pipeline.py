@@ -91,7 +91,9 @@ def run_pipeline(
         df = build()
         store.write(df, name)
         committed = store.read(name)
-        store.append_lineage(name, committed)
+        # score histogram lands in lineage for any stage carrying a score
+        # column (scores, edges) — A13 / SURVEY §1.4
+        store.append_lineage(name, committed, score_col="score")
         return committed
 
     def build_mentions() -> DataFrame:

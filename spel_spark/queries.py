@@ -674,6 +674,55 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# engine-path pair generation (rows-only: xxhash64 ids have no DuckDB twin)
+# --------------------------------------------------------------------------
+
+def q_pairs_engine(spark, sf_dir):
+    """J10 at scale — the ENGINE pair-generation path: distinct normalized
+    surfaces -> 3 blocking-key families -> anchor-sparsified pairs (O(n·k)
+    per block; exact salted all-pairs for small blocks).  This, not the
+    quadratic ``pairs_exact_block`` parity query, is what the headline
+    bench times: pair volume grows ~linearly with input, not O(n²)."""
+    from spel_spark.operators.blocking import (
+        anchor_pairs,
+        blocking_keys,
+        surface_nodes,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("mention_id"),
+        norm_surface_col(F.col("p_name")).alias("norm_surface"),
+    )
+    blocks = blocking_keys(surface_nodes(p))
+    return anchor_pairs(blocks).select("a_id", "b_id", "a_norm", "b_norm", "block_key")
+
+
+def q_pair_scores_engine(spark, sf_dir):
+    """Blended scoring (JW + lev + jaccard + shingle-jaccard + first-token)
+    over the engine pair path — the scores stage as actually shipped."""
+    from spel_spark.operators.scoring import score_pairs
+
+    return score_pairs(q_pairs_engine(spark, sf_dir)).select(
+        "a_id", "b_id",
+        _r6(F.col("jw")).alias("jw"),
+        _r6(F.col("lev")).alias("lev"),
+        _r6(F.col("jacc")).alias("jacc"),
+        _r6(F.col("score")).alias("score"),
+    )
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """Engine near-dup path over documents: banded MinHash-LSH candidates
+    -> exact Jaccard verify (bucketed, not all-pairs — the 100-TB shape)."""
+    from spel_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, jaccard_threshold=0.8).select(
+        "a_id", "b_id", _r6(F.col("jacc")).alias("jacc")
+    )
+
+
+# --------------------------------------------------------------------------
 # catalog (name -> (spark builder, duckdb oracle SQL or None))
 # --------------------------------------------------------------------------
 

@@ -4,8 +4,9 @@ The reference serves one document per HTTP request behind a global lock
 (reference: src/gerbil_connect/server.py:45,88-116 — concurrency 1).  The
 Spark-native replacement is a streaming job: new transcript turns arrive
 continuously, late/duplicate turns are dropped by watermark + key, and
-each micro-batch appends extracted mentions to the mentions table via
-``foreachBatch`` (exactly-once per the sink's atomic commit).
+each micro-batch writes extracted mentions to an epoch-scoped partition of
+the mentions table via ``foreachBatch`` (at-least-once delivery made
+effectively-once by idempotent per-epoch partition overwrite).
 
 Batch-first engine: this module is optional for the F1 target (SURVEY
 §2.9) but gives parity for continuous ingestion.
@@ -72,9 +73,13 @@ def start_mention_ingest(
 ):
     """Continuous mentions ingestion: source dir -> mentions parquet sink.
 
-    foreachBatch + parquet append; the streaming checkpoint gives resume
-    (the streaming twin of CheckpointStore's batch resume).
-    Returns the StreamingQuery (caller stops it).
+    Idempotent sink: each micro-batch writes to its own ``epoch=<id>``
+    partition with dynamic partition overwrite, so a retried epoch (after
+    a partial write + executor loss) REPLACES its partition instead of
+    appending duplicates — foreachBatch is at-least-once per epoch, and
+    epoch-scoped overwrite upgrades it to effectively-once.  The streaming
+    checkpoint gives resume (the streaming twin of CheckpointStore's batch
+    resume).  Returns the StreamingQuery (caller stops it).
     """
     stream = read_transcript_stream(spark, source_path)
     mentions = streaming_mentions(stream, redirects)
@@ -82,7 +87,9 @@ def start_mention_ingest(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         (
             batch_df.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
             .parquet(sink_path)
         )
 

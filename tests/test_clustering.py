@@ -28,8 +28,12 @@ def _uf_components(edges):
     return {n: find(n) for n in nodes}
 
 
+@pytest.mark.parametrize("backend", ["driver", "distributed"])
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 50, 40), (2, 200, 150), (3, 500, 700)])
-def test_cc_matches_union_find(spark, seed, n_nodes, n_edges):
+def test_cc_matches_union_find(spark, seed, n_nodes, n_edges, backend):
+    """Both backends against the union-find oracle: the distributed
+    large-star/small-star path is the production-scale path and must not
+    ship untested just because auto picks driver below 5M edges."""
     rng = np.random.Generator(np.random.PCG64(seed))
     edges = [
         (int(a), int(b))
@@ -37,7 +41,10 @@ def test_cc_matches_union_find(spark, seed, n_nodes, n_edges):
         if a != b
     ]
     df = spark.createDataFrame(edges, "a_id long, b_id long")
-    got = {r.node: r.component for r in connected_components(df).collect()}
+    got = {
+        r.node: r.component
+        for r in connected_components(df, backend=backend).collect()
+    }
     want = _uf_components(edges)
     # every edge endpoint maps to its component min (roots may be implicit)
     for n, c in want.items():

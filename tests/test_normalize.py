@@ -21,6 +21,14 @@ CASES = [
     "",
     "tool's`",
     "Wash. Post",
+    # non-ASCII: round-1 divergence — the SQL twin skipped the unicode fold
+    "Kamora’s Ledger",
+    "Ã©clair Ã¼ber ÃŃcono",  # mojibake repairs, then accent folds
+    "café…done — €100",
+    "Â£5 âĦ¢ brand",
+    "楊 CJK blanked",
+    "naïve ō č ž ć É ș",
+    "nbsp here",
 ]
 
 

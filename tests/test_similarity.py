@@ -33,6 +33,30 @@ def test_jw_symmetry(corpus):
         assert jaro_winkler_py(a, b) == pytest.approx(jaro_winkler_py(b, a))
 
 
+def test_jw_batch_kernel_matches_py():
+    """The native batch kernel must agree with the pure-Python definition
+    bit-for-bit on randomized inputs (incl. unicode + edge lengths)."""
+    import random
+
+    from spel_spark.functions.similarity import jaro_winkler_batch
+
+    rng = random.Random(7)
+    alpha = "abcdefg é日 "
+    cases = [("", ""), ("a", ""), ("", "b"), ("martha", "marhta"),
+             ("kamora ledger", "kamora lédger"), ("日本語テスト", "日本語テスト")]
+    for _ in range(2000):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 25)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 25)))
+        if rng.random() < 0.2:
+            b = a
+        cases.append((a, b))
+    got = jaro_winkler_batch([c[0] for c in cases], [c[1] for c in cases])
+    for (a, b), g in zip(cases, got):
+        assert abs(jaro_winkler_py(a, b) - g) < 1e-12, (a, b)
+    assert len(jaro_winkler_batch([], [])) == 0
+    assert list(jaro_winkler_batch(["", ""], ["", "x"])) == [1.0, 0.0]
+
+
 def test_jw_udf_matches_py(spark):
     pairs = [("kamora ledger", "kamora"), ("abc", "abd"), ("x", "x"), ("", "y")]
     df = spark.createDataFrame(pairs, "a string, b string")

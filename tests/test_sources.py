@@ -102,6 +102,22 @@ def test_read_redirects_json(spark, tmp_path):
     assert got["EU"] == "European_Union"
 
 
+def test_read_redirects_json_large(spark, tmp_path):
+    """Scale check: a 100K-alias dimension parses in one from_json pass
+    (the round-1 column-per-key form did a driver round-trip per key)."""
+    import time
+
+    p = tmp_path / "redirects_big.json"
+    big = {f"Alias_{i}": f"Canonical_{i % 1000}" for i in range(100_000)}
+    p.write_text(json.dumps(big))
+    t0 = time.time()
+    df = read_redirects_json(spark, str(p))
+    assert df.count() == 100_000
+    assert time.time() - t0 < 30
+    row = df.filter(df["alias"] == "Alias_123").first()
+    assert row.canonical == "Canonical_123"
+
+
 def test_read_jsonl_gz(spark, tmp_path):
     p = tmp_path / "train.jsonl.gz"
     rows = [
