@@ -68,6 +68,46 @@ def pairwise_micro_f1(resolved: DataFrame) -> DataFrame:
     )
 
 
+def subword_eval_counters(
+    resolved: DataFrame,
+    mask_col: str = "eval_mask",
+    actual_col: str = "is_in_mention",
+    pred_col: str = "pred_in_mention",
+) -> DataFrame:
+    """A7: masked subword-level mention-detection counters — the Spark
+    re-expression of the reference's InOutMentionEvaluationResult
+    (src/spel/decao_eval.py:1335-1391): overall / in-mention /
+    out-of-mention accuracy over eval-masked subwords, as ONE aggregation
+    of conditional sums (no per-token Python loop).
+
+    Accuracies are percentages, 0.0 when the denominator is empty
+    (decao_eval.py:1370-1381)."""
+    m = F.col(mask_col)
+    a = F.col(actual_col)
+    p = F.col(pred_col)
+    agg = resolved.agg(
+        F.sum(m.cast("long")).alias("total"),
+        F.sum((m & (a == p)).cast("long")).alias("correct"),
+        F.sum((m & a).cast("long")).alias("total_true"),
+        F.sum((m & a & p).cast("long")).alias("correct_true"),
+        F.sum((m & ~a).cast("long")).alias("total_false"),
+        F.sum((m & ~a & ~p).cast("long")).alias("correct_false"),
+    )
+
+    def acc(num, den):
+        return F.when(
+            F.col(den) > 0, F.col(num) * 100.0 / F.col(den)
+        ).otherwise(F.lit(0.0))
+
+    return agg.select(
+        "total", "correct", "total_true", "correct_true",
+        "total_false", "correct_false",
+        acc("correct", "total").alias("overall_acc"),
+        acc("correct_true", "total_true").alias("in_mention_acc"),
+        acc("correct_false", "total_false").alias("out_mention_acc"),
+    )
+
+
 def pairwise_f1_by_block(resolved: DataFrame) -> DataFrame:
     """Per-block-key P/R/F1 (the 'matched blocking key' grouping), plus the
     macro mean across blocks (reference macro analogue)."""

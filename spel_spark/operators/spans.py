@@ -86,21 +86,26 @@ def span_overlap_join(gold: DataFrame, pred: DataFrame) -> DataFrame:
     gold/pred: (doc_id, begin, end, entity).  Output: one row per gold
     span with its best-overlapping prediction (or nulls).
     """
+    # rename BOTH sides' doc_id before the join: when pred derives from
+    # gold (shared lineage), g["doc_id"] == p["doc_id"] resolves to a
+    # trivially-true predicate and the join silently goes cross-document
     g = gold.select(
-        "doc_id", F.col("begin").alias("g_begin"), F.col("end").alias("g_end"),
+        F.col("doc_id").alias("g_doc"),
+        F.col("begin").alias("g_begin"), F.col("end").alias("g_end"),
         F.col("entity").alias("g_entity"),
     )
     p = pred.select(
-        "doc_id", F.col("begin").alias("p_begin"), F.col("end").alias("p_end"),
+        F.col("doc_id").alias("p_doc"),
+        F.col("begin").alias("p_begin"), F.col("end").alias("p_end"),
         F.col("entity").alias("p_entity"),
     )
     joined = g.join(
         p,
-        (g["doc_id"] == p["doc_id"])
+        (F.col("g_doc") == F.col("p_doc"))
         & (F.col("p_begin") < F.col("g_end"))
         & (F.col("g_begin") < F.col("p_end")),
         "left",
-    ).drop(p["doc_id"])
+    ).withColumn("doc_id", F.col("g_doc")).drop("g_doc", "p_doc")
     overlap = F.least("g_end", "p_end") - F.greatest("g_begin", "p_begin")
     w = Window.partitionBy("doc_id", "g_begin", "g_end").orderBy(
         F.desc_nulls_last(overlap), F.col("p_begin")
@@ -140,24 +145,28 @@ def candidate_filter(
     predictions: (block_key, entity_id, ...); candidate_sets:
     (block_key, entity_id) allow-list.
     """
+    # rename BOTH allow-list columns before the join: when candidate_sets
+    # derives from predictions (same lineage), df["col"] references resolve
+    # ambiguously and drop() can keep the null-filled side (observed: all
+    # non-allowed rows got block_key NULL)
     allowed = candidate_sets.select(
-        "block_key", F.col("entity_id").alias("allowed_entity")
-    )
+        F.col("block_key").alias("_allow_key"),
+        F.col("entity_id").alias("allowed_entity"),
+    ).distinct()
     return (
         predictions.join(
             F.broadcast(allowed),
-            (predictions["block_key"] == allowed["block_key"])
-            & (predictions["entity_id"] == allowed["allowed_entity"]),
+            (predictions["block_key"] == F.col("_allow_key"))
+            & (predictions["entity_id"] == F.col("allowed_entity")),
             "left",
         )
-        .drop(allowed["block_key"])
         .withColumn(
             "entity_id",
             F.when(F.col("allowed_entity").isNotNull(), F.col("entity_id")).otherwise(
                 F.lit(null_entity)
             ),
         )
-        .drop("allowed_entity")
+        .drop("_allow_key", "allowed_entity")
     )
 
 

@@ -673,6 +673,165 @@ FROM m
 """
 
 
+def q_word_resolution(spark, sf_dir):
+    """A1+A2: word-candidate aggregation + resolution cascade (reference:
+    src/spel/span_annotation.py:77-121) over subword annotations
+    synthesized deterministically from events (doc = user, 3 subwords per
+    word, 3-entry ranked top-k per subword)."""
+    from spel_spark.operators.words import resolve_words
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    e = F.col("event_id").cast("long")
+    a = e % 11
+    b = (a + 1 + e % 5) % 11
+    c = (a + 6 + e % 3) % 11
+    rn = F.row_number().over(w) - 1
+    sub = ev.select(
+        F.col("user_id").cast("long").alias("doc_id"),
+        F.floor(rn / 3).cast("long").alias("word_idx"),
+        (rn % 3).cast("long").alias("subword_idx"),
+        F.array(
+            F.struct(a.alias("entity_id"), ((e * 37 % 100) / F.lit(100.0)).alias("p")),
+            F.struct(b.alias("entity_id"), ((e * 53 % 100) / F.lit(100.0)).alias("p")),
+            F.struct(c.alias("entity_id"), ((e * 71 % 100) / F.lit(100.0)).alias("p")),
+        ).alias("top_k"),
+    )
+    out = resolve_words(sub)
+    return out.select(
+        "doc_id", "word_idx",
+        F.col("resolved_entity").cast("long").alias("resolved_entity"),
+        _r6(F.col("confidence")).alias("confidence"),
+        F.col("n_subwords").cast("long").alias("n_subwords"),
+    )
+
+
+SQL_WORD_RESOLUTION = """
+WITH base AS (
+  SELECT CAST(user_id AS BIGINT) AS doc_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) AS rn,
+         CAST(event_id AS BIGINT) AS e
+  FROM events),
+sub AS (
+  SELECT doc_id, CAST(rn // 3 AS BIGINT) AS word_idx,
+         CAST(rn % 3 AS BIGINT) AS subword_idx, e,
+         e % 11 AS a, (e % 11 + 1 + e % 5) % 11 AS b,
+         (e % 11 + 6 + e % 3) % 11 AS c,
+         (e * 37 % 100) / 100.0 AS p1, (e * 53 % 100) / 100.0 AS p2,
+         (e * 71 % 100) / 100.0 AS p3
+  FROM base),
+ex AS (
+  SELECT doc_id, word_idx, subword_idx, 0 AS pos, a AS entity_id, p1 AS p FROM sub
+  UNION ALL SELECT doc_id, word_idx, subword_idx, 1, b, p2 FROM sub
+  UNION ALL SELECT doc_id, word_idx, subword_idx, 2, c, p3 FROM sub),
+nsub AS (
+  SELECT doc_id, word_idx, count(*) AS n_subwords FROM sub GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, word_idx, entity_id,
+         count(*) AS n_hits, sum(p) AS sum_p,
+         sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS votes,
+         min(CASE WHEN pos = 0 THEN subword_idx END) AS first_vote
+  FROM ex GROUP BY 1, 2, 3),
+feat AS (
+  SELECT a.doc_id, a.word_idx, a.entity_id, n.n_subwords,
+         a.sum_p / n.n_subwords AS avg_p,
+         a.n_hits = n.n_subwords AS is_cand,
+         a.votes, a.first_vote,
+         a.votes = n.n_subwords AS unanimous
+  FROM agg a JOIN nsub n USING (doc_id, word_idx)),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id, word_idx
+    ORDER BY unanimous DESC, is_cand DESC,
+             CASE WHEN is_cand THEN avg_p ELSE 0.0 END DESC,
+             votes DESC, first_vote ASC NULLS LAST, entity_id ASC) AS rnk
+  FROM feat)
+SELECT doc_id, word_idx, entity_id AS resolved_entity,
+       CAST(round(avg_p, 6) AS DOUBLE) AS confidence, n_subwords
+FROM rk WHERE rnk = 1
+"""
+
+
+def q_subword_eval(spark, sf_dir):
+    """A7: masked subword-eval counters (reference:
+    src/spel/decao_eval.py:1335-1391) over a deterministic stand-in
+    labeling of events: mask = even event_id, actual = click, predicted =
+    value > 50."""
+    from spel_spark.operators.metrics import subword_eval_counters
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2 == 0).alias("eval_mask"),
+        (F.col("event_type") == "click").alias("is_in_mention"),
+        (F.col("value") > 50).alias("pred_in_mention"),
+    )
+    out = subword_eval_counters(ev)
+    return out.select(
+        "total", "correct", "total_true", "correct_true",
+        "total_false", "correct_false",
+        _r6(F.col("overall_acc")).alias("overall_acc"),
+        _r6(F.col("in_mention_acc")).alias("in_mention_acc"),
+        _r6(F.col("out_mention_acc")).alias("out_mention_acc"),
+    )
+
+
+SQL_SUBWORD_EVAL = """
+WITH s AS (
+  SELECT event_id % 2 = 0 AS m, event_type = 'click' AS a, value > 50 AS p
+  FROM events),
+agg AS (
+  SELECT CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN m AND a = p THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+         CAST(sum(CASE WHEN m AND a THEN 1 ELSE 0 END) AS BIGINT) AS total_true,
+         CAST(sum(CASE WHEN m AND a AND p THEN 1 ELSE 0 END) AS BIGINT) AS correct_true,
+         CAST(sum(CASE WHEN m AND NOT a THEN 1 ELSE 0 END) AS BIGINT) AS total_false,
+         CAST(sum(CASE WHEN m AND NOT a AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS correct_false
+  FROM s)
+SELECT total, correct, total_true, correct_true, total_false, correct_false,
+  CAST(round(CASE WHEN total > 0 THEN correct * 100.0 / total ELSE 0.0 END, 6) AS DOUBLE) AS overall_acc,
+  CAST(round(CASE WHEN total_true > 0 THEN correct_true * 100.0 / total_true ELSE 0.0 END, 6) AS DOUBLE) AS in_mention_acc,
+  CAST(round(CASE WHEN total_false > 0 THEN correct_false * 100.0 / total_false ELSE 0.0 END, 6) AS DOUBLE) AS out_mention_acc
+FROM agg
+"""
+
+
+def q_candidate_filter(spark, sf_dir):
+    """J8: candidate-set post-filter — predictions outside the mention's
+    allow-list fall back to the null entity (reference:
+    src/spel/candidate_manager.py:76-103).  Predictions and allow-lists
+    synthesized deterministically from part."""
+    from spel_spark.operators.spans import candidate_filter
+
+    p = q_norm_surface(spark, sf_dir)
+    preds = p.select(
+        "p_partkey",
+        F.concat(F.lit("f:"), F.split("norm_surface", " ").getItem(0)).alias("block_key"),
+        (F.col("p_partkey") % 50).cast("long").alias("entity_id"),
+    )
+    allow = (
+        preds.filter(F.col("p_partkey") % 3 == 0)
+        .select("block_key", "entity_id")
+        .distinct()
+    )
+    return candidate_filter(preds, allow).select(
+        "p_partkey", "block_key", F.col("entity_id").cast("long").alias("entity_id")
+    )
+
+
+SQL_CANDIDATE_FILTER = f"""
+WITH preds AS (
+  SELECT p_partkey,
+         'f:' || string_split({norm_surface_sql('p_name')}, ' ')[1] AS block_key,
+         CAST(p_partkey % 50 AS BIGINT) AS entity_id
+  FROM part),
+allow AS (
+  SELECT DISTINCT block_key, entity_id FROM preds WHERE p_partkey % 3 = 0)
+SELECT p.p_partkey, p.block_key,
+       CASE WHEN a.entity_id IS NOT NULL THEN p.entity_id ELSE 0 END AS entity_id
+FROM preds p LEFT JOIN allow a
+  ON p.block_key = a.block_key AND p.entity_id = a.entity_id
+"""
+
+
 # --------------------------------------------------------------------------
 # engine-path pair generation (rows-only: xxhash64 ids have no DuckDB twin)
 # --------------------------------------------------------------------------
@@ -750,4 +909,7 @@ CATALOG: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "bioes_tagging": (q_bioes_tagging, SQL_BIOES),
     "softmax_window": (q_softmax_window, SQL_SOFTMAX),
+    "word_resolution": (q_word_resolution, SQL_WORD_RESOLUTION),
+    "candidate_filter": (q_candidate_filter, SQL_CANDIDATE_FILTER),
+    "subword_eval": (q_subword_eval, SQL_SUBWORD_EVAL),
 }

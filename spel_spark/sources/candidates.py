@@ -1,0 +1,77 @@
+"""Candidate-set JSON source adapter (S3: the three PPRforNED layouts).
+
+The reference loads per-mention entity allow-lists from JSON in three
+layouts and merges testa/testb (reference: src/spel/candidate_manager.py:
+31-56, keys consumed at :58-74):
+
+* ``context_agnostic``        {mention_surface: [entity, ...]}
+* ``context_aware_mentions``  {sentence_text: {mention_surface: [entity, ...]}}
+* ``context_aware_spans``     {sentence_text: {"(begin, end)": [entity, ...]}}
+
+Spark-side parse: raw wholetext read + ``from_json`` into nested map types
++ explode — one pass, no driver JSON materialization, no one-row-wide
+DataFrame (the same scale posture as read_redirects_json).  All three
+layouts normalize to one schema feeding candidate_filter (J8):
+
+  (context_key STRING?, mention STRING?, begin_char INT?, end_char INT?,
+   entity STRING)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LAYOUTS = ("context_agnostic", "context_aware_mentions", "context_aware_spans")
+
+
+def read_candidate_json(spark: SparkSession, path: str, layout: str) -> DataFrame:
+    """Parse one candidate JSON file into normalized candidate rows."""
+    if layout not in LAYOUTS:
+        raise ValueError(f"layout must be one of {LAYOUTS}, got {layout!r}")
+    raw = spark.read.text(path, wholetext=True)
+    null_s = F.lit(None).cast("string")
+    null_i = F.lit(None).cast("int")
+    if layout == "context_agnostic":
+        m = raw.select(
+            F.explode(F.from_json("value", "map<string,array<string>>")).alias(
+                "mention", "entities"
+            )
+        )
+        return m.select(
+            null_s.alias("context_key"),
+            "mention",
+            null_i.alias("begin_char"),
+            null_i.alias("end_char"),
+            F.explode("entities").alias("entity"),
+        )
+    nested = raw.select(
+        F.explode(
+            F.from_json("value", "map<string,map<string,array<string>>>")
+        ).alias("context_key", "inner")
+    ).select("context_key", F.explode("inner").alias("key", "entities"))
+    if layout == "context_aware_mentions":
+        return nested.select(
+            "context_key",
+            F.col("key").alias("mention"),
+            null_i.alias("begin_char"),
+            null_i.alias("end_char"),
+            F.explode("entities").alias("entity"),
+        )
+    # context_aware_spans: key is "(begin, end)" (candidate_manager.py:66)
+    return nested.select(
+        "context_key",
+        null_s.alias("mention"),
+        F.regexp_extract("key", r"\((\d+),\s*(\d+)\)", 1).cast("int").alias("begin_char"),
+        F.regexp_extract("key", r"\((\d+),\s*(\d+)\)", 2).cast("int").alias("end_char"),
+        F.explode("entities").alias("entity"),
+    )
+
+
+def union_candidates(a: DataFrame, b: DataFrame) -> DataFrame:
+    """J9 union-merge of two candidate tables (testa ∪ testb): append
+    unseen (key, entity) pairs, first-seen wins for duplicates
+    (candidate_manager.py:42-51)."""
+    return a.unionByName(b).dropDuplicates(
+        ["context_key", "mention", "begin_char", "end_char", "entity"]
+    )

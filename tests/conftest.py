@@ -29,6 +29,11 @@ def transcripts_df(spark, corpus):
     return load_transcripts_df(spark, corpus).cache()
 
 
+@pytest.fixture(scope="session")
+def sf001_dir():
+    return "/root/testdata/sf0.001"
+
+
 @pytest.fixture()
 def store(spark, tmp_path):
     base = str(tmp_path / "ckpt")

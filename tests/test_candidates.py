@@ -1,0 +1,119 @@
+"""Candidate-set JSON adapter: parse the reference's real public fixtures
+(all 3 layouts), union-merge semantics, and the J8 filter oracle parity."""
+
+import json
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from spel_spark.sources.candidates import read_candidate_json, union_candidates
+
+FIXTURE_DIR = "/root/reference/resources/data/candidates"
+TESTA = os.path.join(FIXTURE_DIR, "aida_testa_pprforned")
+TESTB = os.path.join(FIXTURE_DIR, "aida_testb_pprforned")
+
+needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(TESTA), reason="reference candidate fixtures not present"
+)
+
+
+@needs_fixtures
+def test_context_agnostic_real_file(spark):
+    path = os.path.join(TESTA, "context_agnostic_mentions.json")
+    df = read_candidate_json(spark, path, "context_agnostic")
+    raw = json.load(open(path))
+    want_rows = sum(len(v) for v in raw.values())
+    assert df.count() == want_rows
+    got = {
+        r.entity
+        for r in df.filter(F.col("mention") == "LEICESTERSHIRE").collect()
+    }
+    assert got == set(raw["LEICESTERSHIRE"])
+    assert df.filter(F.col("context_key").isNotNull()).count() == 0
+
+
+@needs_fixtures
+def test_context_aware_mentions_real_file(spark):
+    path = os.path.join(TESTA, "context_aware_mentions.json")
+    df = read_candidate_json(spark, path, "context_aware_mentions")
+    raw = json.load(open(path))
+    want_rows = sum(len(ents) for inner in raw.values() for ents in inner.values())
+    assert df.count() == want_rows
+    # spot-check one (sentence, mention) cell
+    sent = next(iter(raw))
+    mention = next(iter(raw[sent]))
+    got = {
+        r.entity
+        for r in df.filter(
+            (F.col("context_key") == sent) & (F.col("mention") == mention)
+        ).collect()
+    }
+    assert got == set(raw[sent][mention])
+
+
+@needs_fixtures
+def test_context_aware_spans_real_file(spark):
+    path = os.path.join(TESTA, "context_aware_spans.json")
+    df = read_candidate_json(spark, path, "context_aware_spans")
+    raw = json.load(open(path))
+    want_rows = sum(len(ents) for inner in raw.values() for ents in inner.values())
+    assert df.count() == want_rows
+    sent = next(iter(raw))
+    key = next(iter(raw[sent]))
+    b, e = (int(x) for x in key.strip("()").split(","))
+    got = {
+        r.entity
+        for r in df.filter(
+            (F.col("context_key") == sent)
+            & (F.col("begin_char") == b)
+            & (F.col("end_char") == e)
+        ).collect()
+    }
+    assert got == set(raw[sent][key])
+    assert df.filter(F.col("begin_char").isNull()).count() == 0
+
+
+@needs_fixtures
+def test_union_merge_testa_testb(spark):
+    """J9: testa ∪ testb — distinct (mention, entity) pairs across files
+    (candidate_manager.py:42-51 appends only unseen entities)."""
+    path_a = os.path.join(TESTA, "context_agnostic_mentions.json")
+    path_b = os.path.join(TESTB, "context_agnostic_mentions.json")
+    a = read_candidate_json(spark, path_a, "context_agnostic")
+    b = read_candidate_json(spark, path_b, "context_agnostic")
+    u = union_candidates(a, b)
+    raw_a, raw_b = json.load(open(path_a)), json.load(open(path_b))
+    merged = {k: list(v) for k, v in raw_a.items()}
+    for k, ents in raw_b.items():
+        have = set(merged.get(k, []))
+        merged.setdefault(k, [])
+        merged[k].extend(e for e in ents if e not in have)
+    want_rows = sum(len(v) for v in merged.values())
+    assert u.count() == want_rows
+
+
+def test_bad_layout_raises(spark):
+    with pytest.raises(ValueError):
+        read_candidate_json(spark, "/tmp/x.json", "nope")
+
+
+def test_candidate_filter_oracle_parity(spark, sf001_dir):
+    from spel_spark.queries import SQL_CANDIDATE_FILTER, q_candidate_filter
+
+    sdf = q_candidate_filter(spark, sf001_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM read_parquet('{sf001_dir}/part.parquet')"
+    )
+    odf = con.execute(SQL_CANDIDATE_FILTER).df()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(by=cols, ignore_index=True)
+    b = odf[cols].sort_values(by=cols, ignore_index=True)
+    assert len(a) == len(b) > 0
+    # some predictions must actually be nulled and some kept
+    assert (a["entity_id"] == 0).any() and (a["entity_id"] != 0).any()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -25,3 +25,34 @@ def test_micro_f1_hand_case(spark):
     assert (row.tp, row.fp, row.fn) == (1, 0, 2)
     assert row.precision == pytest.approx(1.0)
     assert row.recall == pytest.approx(1 / 3)
+
+
+def test_subword_eval_counters(spark):
+    """A7 vs a hand-counted python twin (reference semantics:
+    decao_eval.py:1335-1391 — masked overall/in/out accuracies)."""
+    from spel_spark.operators.metrics import subword_eval_counters
+
+    rows = [
+        # (mask, actual, pred)
+        (True, True, True), (True, True, False), (True, False, False),
+        (True, False, True), (False, True, True), (True, True, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "eval_mask boolean, is_in_mention boolean, pred_in_mention boolean"
+    )
+    r = subword_eval_counters(df).collect()[0]
+    masked = [x for x in rows if x[0]]
+    assert r.total == len(masked) == 5
+    assert r.correct == sum(1 for _, a, p in masked if a == p) == 3
+    assert r.total_true == 3 and r.correct_true == 2
+    assert r.total_false == 2 and r.correct_false == 1
+    assert r.overall_acc == 3 * 100.0 / 5
+    assert r.in_mention_acc == 2 * 100.0 / 3
+    assert r.out_mention_acc == 1 * 100.0 / 2
+    # empty-denominator guard
+    empty = spark.createDataFrame(
+        [(False, True, True)],
+        "eval_mask boolean, is_in_mention boolean, pred_in_mention boolean",
+    )
+    r0 = subword_eval_counters(empty).collect()[0]
+    assert (r0.overall_acc, r0.in_mention_acc, r0.out_mention_acc) == (0.0, 0.0, 0.0)
