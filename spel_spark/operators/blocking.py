@@ -106,6 +106,58 @@ def blocking_keys(surfaces: DataFrame) -> DataFrame:
     )
 
 
+def salted_id_pairs(
+    blocks: DataFrame,
+    id_col: str = "id",
+    key_col: str = "block_key",
+    max_cell: int = 1024,
+    max_salts: int = 64,
+) -> DataFrame:
+    """Payload-free triangle-salted self-join: all unordered id pairs
+    sharing a key, deduplicated across keys.  Output (a_id, b_id).
+
+    The id-only core of :func:`salted_pairs` for callers that join their
+    payload back afterwards (e.g. document token sets, which are far too
+    wide to replicate through the salt cells).  A block of n members with
+    S salts becomes S*(S+1)/2 bounded cells joined independently — no
+    single task ever sees a whole hot bucket (degenerate LSH buckets are
+    the doc-dedup analogue of hot mention surfaces)."""
+    counts = blocks.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_members"))
+    sized = (
+        blocks.join(counts, key_col)
+        .filter(F.col("n_members") > 1)
+        .withColumn(
+            "n_salts",
+            F.least(
+                F.greatest(F.ceil(F.col("n_members") / max_cell), F.lit(1)),
+                F.lit(max_salts),
+            ).cast("int"),
+        )
+        .withColumn(
+            "salt", F.pmod(F.xxhash64(id_col, F.lit(7)), F.col("n_salts")).cast("int")
+        )
+    )
+    a_side = sized.select(
+        F.col(key_col).alias("_k"),
+        F.col(id_col).alias("a_id"),
+        F.col("salt").alias("i"),
+        F.explode(F.sequence(F.col("salt"), F.col("n_salts") - 1)).alias("j"),
+    )
+    b_side = sized.select(
+        F.col(key_col).alias("_k"),
+        F.col(id_col).alias("b_id"),
+        F.explode(F.sequence(F.lit(0), F.col("salt"))).alias("i"),
+        F.col("salt").alias("j"),
+    )
+    joined = a_side.join(b_side, ["_k", "i", "j"]).filter(
+        F.col("a_id") != F.col("b_id")
+    )
+    return joined.select(
+        F.least("a_id", "b_id").alias("a_id"),
+        F.greatest("a_id", "b_id").alias("b_id"),
+    ).distinct()
+
+
 def salted_pairs(
     blocks: DataFrame,
     max_cell: int = 1024,

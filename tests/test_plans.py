@@ -51,3 +51,36 @@ def test_redirect_join_broadcasts(spark, transcripts_df, corpus):
     redirects = spark.createDataFrame(corpus.redirects)
     m = with_norm_surface(extract_mentions(transcripts_df), redirects)
     assert scan_summary(m)["has_broadcast"]
+
+
+def test_word_resolution_plan_is_jvm_only(spark, sf001_dir):
+    """A1/A2: one shuffle-aggregate + one window, zero Python."""
+    from spel_spark.queries import q_word_resolution
+
+    df = q_word_resolution(spark, sf001_dir)
+    assert "EvalPython" not in physical_plan(df)
+
+
+def test_punct_tokenizer_is_zero_shuffle(spark, transcripts_df):
+    """F2: narrow map — no Exchange, no Python."""
+    from spel_spark.functions.tokenize import punct_tokenize
+
+    toks = punct_tokenize(transcripts_df)
+    plan = physical_plan(toks)
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_nif_parser_plan_is_jvm_only(spark):
+    import os
+
+    from spel_spark.sources.nif import parse_nif_gold
+
+    ttl = "/root/reference/resources/data/aida_testc.ttl"
+    if not os.path.exists(ttl):
+        import pytest
+
+        pytest.skip("fixture absent")
+    contexts, phrases = parse_nif_gold(spark, ttl)
+    assert "EvalPython" not in physical_plan(phrases)
+    assert "EvalPython" not in physical_plan(contexts)
