@@ -121,6 +121,33 @@ def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_dedup_minhash_pairs(spark, sf_dir)
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: KMeans coarse quantizer (fixed seed) + nprobe
+    cell probing + exact re-rank.  Rows-only (no portable KMeans twin)."""
+    from pyspark.sql import functions as F
+
+    from spel_spark.operators.ann import ann_ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    return ann_ivf_topk(e, q, k=5, nlist=8, nprobe=4)
+
+
+def _q_punct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 splitter over document text (token + exact char offsets)."""
+    from pyspark.sql import functions as F
+
+    from spel_spark.functions.tokenize import punct_tokenize
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("conv_id"), F.lit(0).alias("turn_idx"),
+        F.col("text"),
+    )
+    return punct_tokenize(d)
+
+
 _ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": _q_simhash_dedup,
     "minhash_doc_clusters": _q_minhash_doc_clusters,
@@ -129,6 +156,8 @@ _ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pairs_engine": _q_pairs_engine,
     "pair_scores_engine": _q_pair_scores_engine,
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+    "ann_ivf_topk": _q_ann_ivf_topk,
+    "punct_tokens": _q_punct_tokens,
 }
 
 

@@ -128,3 +128,34 @@ def norm_surface_sql(expr: str) -> str:
         f"lower({folded}), '''s\\b', '', 'g'), '_+', ' ', 'g'), "
         "'[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))"
     )
+
+
+def unicode_unescape_udf():
+    """X4: YAGO-style unicode-escape decode (reference: src/spel/utils.py:
+    190 — ``s.encode('ascii').decode('unicode-escape')``) as an
+    Arrow-batched pandas UDF; Spark has no builtin for \\uXXXX unescaping.
+
+    Non-ascii-encodable or malformed inputs pass through unchanged (the
+    reference only ever feeds it YAGO identifiers, which are ascii).
+
+    NOTE: ``from __future__ import annotations`` stringifies type hints,
+    and pyspark resolves them via get_type_hints against the *defining*
+    module's globals — so the ``pd.Series -> pd.Series`` hints must be
+    spelled as real (non-local) names.  We build the UDF without hints
+    and pass the eval type explicitly instead."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import PandasUDFType
+
+    def _kernel(s):
+        def dec(x):
+            if not isinstance(x, str):
+                return x
+            try:
+                return x.encode("ascii").decode("unicode-escape")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return x
+
+        return s.map(dec)
+
+    return F.pandas_udf(_kernel, T.StringType(), PandasUDFType.SCALAR)

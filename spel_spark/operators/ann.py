@@ -99,3 +99,135 @@ def ann_lsh_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "nbr_id", "rk", F.round("cos_raw", 6).cast("double").alias("cos"))
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) variant — the coarse-quantizer scale path
+# --------------------------------------------------------------------------
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "v",
+    seed: int = 42,
+    use_kmeans: bool = True,
+) -> list[list[float]]:
+    """Train the coarse quantizer: k-means over the embedding column
+    (pyspark.ml, fixed seed), falling back to seeded gaussian centroids if
+    the ML package is unavailable.  Returns L2-normalized centroids (a
+    tiny driver-side list — nlist x dim doubles — broadcast as literals).
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    cents = None
+    if use_kmeans:
+        try:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            feat = embeddings.select(
+                array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+            )
+            model = KMeans(k=nlist, seed=seed, maxIter=10).fit(feat)
+            cents = [c.toArray().tolist() for c in model.clusterCenters()]
+        except Exception:
+            cents = None
+    if cents is None:
+        rng = np.random.Generator(np.random.PCG64(seed))
+        cents = rng.standard_normal((nlist, dim)).tolist()
+    out = []
+    for c in cents:
+        n = float(np.linalg.norm(c)) or 1.0
+        out.append([float(x) / n for x in c])
+    return out
+
+
+def _centroid_scores(vec_col: str, centroids: list[list[float]]):
+    """array<double> of dot(vec, centroid_i) — JVM-side, no UDF."""
+    dots = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        dots.append(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), lit_c, lambda a, b: a * b),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*dots)
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "v"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid: ``cell`` = argmax dot
+    (cosine order — centroids are normalized).  Pure builtins."""
+    scores = _centroid_scores(vec_col, centroids)
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return df.withColumn("cell", cell)
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: nearest-centroid cells index the corpus; each query probes
+    its ``nprobe`` closest cells and scores only those candidates exactly.
+
+    The classic FAISS-style IVF-flat layout re-expressed relationally:
+    the inverted file IS a DataFrame partitioned by ``cell``, the probe is
+    an equi-join on cell, and the re-rank is a window top-k.  Centroids
+    ride along as broadcast literals (nlist x dim — bytes, not data).
+    Returns (q_id, nbr_id, rk, cos); recall vs brute force is measured in
+    tests — raise nprobe for higher recall.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, nlist, vec_col)
+    inv = ivf_assign(embeddings, centroids, vec_col).select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_v"), "cell"
+    )
+    qscores = _centroid_scores(vec_col, centroids)
+    probe = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_v"),
+            qscores.alias("_cs"),
+        )
+        .withColumn(
+            "_ranked",
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.zip_with(
+                            F.col("_cs"),
+                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                            lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+                        )
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .select(
+            "q_id", "q_v",
+            F.explode(F.col("_ranked").getField("i")).alias("cell"),
+        )
+    )
+    cands = probe.join(inv, "cell").filter(F.col("q_id") != F.col("nbr_id"))
+    scored = cands.select(
+        "q_id", "nbr_id", cosine_sim(F.col("q_v"), F.col("nbr_v")).alias("cos_raw")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "nbr_id", "rk", F.round("cos_raw", 6).cast("double").alias("cos"))
+    )

@@ -47,6 +47,70 @@ def _bytes_rng(payload: bytes, n: int) -> np.ndarray:
     return np.random.Generator(np.random.PCG64(seed)).random(n, dtype=np.float32)
 
 
+# -- real codec: PPM (P6), pure numpy — no image library needed -------------
+
+def _parse_ppm(payload: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Parse one P6 frame at ``offset``; returns (image, next_offset)."""
+    if not payload.startswith(b"P6", offset):
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    pos = offset + 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        if end == pos:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    n = w * h * 3
+    if len(payload) - pos < n:
+        raise ValueError("truncated PPM payload")
+    img = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos).reshape(h, w, 3)
+    return img, pos + n
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL decoder for binary PPM (P6): header parse (incl. comments) +
+    one zero-copy frombuffer reshape -> (h, w, 3) uint8.  PPM needs no
+    external library, so this codec path is fully real; JPEG/PNG remain
+    behind :func:`_decode_image_stub` until PIL/turbojpeg are present."""
+    img, _ = _parse_ppm(payload)
+    return img
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_ppm` (test fixture + sink helper)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """REAL nearest-neighbor resize via numpy index sampling."""
+    h, w = img.shape[:2]
+    rows = (np.arange(th) * h // th).clip(0, h - 1)
+    cols = (np.arange(tw) * w // tw).clip(0, w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+def _image_feature_vec(img: np.ndarray, grid: int = 4) -> np.ndarray:
+    """Per-channel means + grid x grid mean-pooled grayscale (real
+    feature extraction over decoded pixels)."""
+    means = img.reshape(-1, 3).mean(axis=0) / 255.0
+    gray = img.mean(axis=2)
+    pooled = resize_nearest(gray[..., None], grid, grid)[..., 0].reshape(-1) / 255.0
+    return np.concatenate([means, pooled]).astype(np.float32)
+
+
 def _decode_image_stub(payload: bytes, dim: int = 16) -> np.ndarray:
     """STUB — replace with a real decoder (PIL/turbojpeg).  Raises for
     payloads that do not carry the fake magic, mimicking codec errors."""
@@ -61,7 +125,10 @@ def _decode_image_stub(payload: bytes, dim: int = 16) -> np.ndarray:
 def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """Decode + feature-extract images via mapInPandas (Arrow batches).
 
-    Real plumbing: batch iterator in/out, per-row failure isolation (bad
+    PPM (P6) payloads get the REAL pipeline — decode -> resize ->
+    channel-mean + pooled-grayscale features, true width/height from the
+    header; other formats fall to the library-gated stub.  Real plumbing
+    either way: batch iterator in/out, per-row failure isolation (bad
     payloads are dropped, not fatal — at 100 TB some blobs are corrupt).
     """
 
@@ -72,7 +139,13 @@ def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
             ):
                 try:
-                    feat = _decode_image_stub(bytes(payload), dim)
+                    raw = bytes(payload)
+                    if raw.startswith(b"P6"):
+                        img = decode_ppm(raw)
+                        feat = _image_feature_vec(img)
+                        h, w = img.shape[:2]
+                    else:
+                        feat = _decode_image_stub(raw, dim)
                 except (NotImplementedError, ValueError):
                     continue
                 out["media_id"].append(mid)
@@ -86,6 +159,44 @@ def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.filter(F.col("kind") == "image").select(
         "media_id", "width", "height", "payload"
     ).mapInPandas(op, schema=IMAGE_FEATURES_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, feature array<float>"
+)
+
+
+def video_frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL frame sampling: 'video' payloads are concatenated P6 frames;
+    parse the frame sequence, keep every ``every_k``-th frame, emit
+    per-frame features.  mapInPandas so one executor never materializes
+    more than a batch of videos."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "width": [], "height": [], "feature": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                pos, idx = 0, 0
+                while raw.startswith(b"P6", pos):
+                    try:
+                        img, pos = _parse_ppm(raw, pos)
+                    except ValueError:
+                        break
+                    h, w = img.shape[:2]
+                    if idx % every_k == 0:
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["feature"].append(_image_feature_vec(img).tolist())
+                    idx += 1
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(op, schema=VIDEO_FRAMES_SCHEMA)
 
 
 def audio_frame_sample(media: DataFrame, frame_ms: int = 1000, dim: int = 8) -> DataFrame:
@@ -113,13 +224,27 @@ def audio_frame_sample(media: DataFrame, frame_ms: int = 1000, dim: int = 8) -> 
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests (binary payloads)."""
+    """Deterministic fake media table for tests: images are REAL P6 PPM
+    payloads, videos are concatenated P6 frames (both exercise the real
+    codec path); audio stays opaque bytes (stub path)."""
     rng = np.random.Generator(np.random.PCG64(seed))
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = bytes(rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8))
-        rows.append(
-            (i, kind, payload, 64 + i % 128, 48 + i % 96, 1000 * (1 + i % 30), "fake")
-        )
+        w, h = 8 + i % 8, 6 + i % 6
+        if kind == "image":
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, codec = encode_ppm(img), "ppm"
+        elif kind == "video":
+            frames = [
+                encode_ppm(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+                for _ in range(2 + i % 4)
+            ]
+            payload, codec = b"".join(frames), "ppm-seq"
+        else:
+            payload, codec = (
+                bytes(rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8)),
+                "fake",
+            )
+        rows.append((i, kind, payload, w, h, 1000 * (1 + i % 30), codec))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

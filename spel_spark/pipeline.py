@@ -50,6 +50,9 @@ class PipelineConfig:
     max_salts: int = 64
     use_arrow_extractor: bool = False
     use_cosine: bool = False
+    # persist the (wide) mentions table in ephemeral mode: trades one full
+    # re-extract pass in assign_clusters for a columnar cache fill
+    persist_mentions: bool = True
     # anchor-sparsified pair generation (O(n·k) per block) vs exact
     # all-pairs (O(n²), salted).  Anchors are the scale default.
     exact_pairs: bool = False
@@ -74,18 +77,30 @@ def run_pipeline(
     """
     cfg = config or PipelineConfig()
 
-    # mentions is a zero-shuffle narrow map over transcripts: recomputing
-    # it for each consumer is cheaper (and far lighter on GC) than caching
-    # 10^7 wide rows — only the small, expensive-to-recompute stage outputs
-    # are persisted in ephemeral mode.
-    # scores has a single consumer (edges) — fusing avoids one extra pass
-    _EPHEMERAL_NO_PERSIST = {"mentions", "scores", "clusters"}
+    # scores has a single consumer (edges) — fusing avoids one extra pass.
+    # mentions defaults to persisted (columnar cache): the 8M-turn scaling
+    # runs showed the re-extract pass in assign_clusters costs more than
+    # the cache fill; set persist_mentions=False to trade back when
+    # executor memory is tighter than CPU.
+    _EPHEMERAL_NO_PERSIST = {"scores", "clusters"} | (
+        set() if cfg.persist_mentions else {"mentions"}
+    )
 
     def stage(name: str, build) -> DataFrame:
         if store is None:
             df = build()
-            # fuse into one DAG; persist only small reused outputs
-            return df if name in _EPHEMERAL_NO_PERSIST else df.persist()
+            # fuse into one DAG; persist only small reused outputs.
+            # mentions (wide, 10^7+ rows) goes to DISK_ONLY: the in-memory
+            # columnar cache fill GC-thrashes at high parallelism (measured
+            # 8-thread wall 2.5x WORSE than recomputing), while a disk
+            # spill is a sequential bandwidth-bound write that scales.
+            if name in _EPHEMERAL_NO_PERSIST:
+                return df
+            if name == "mentions":
+                from pyspark import StorageLevel
+
+                return df.persist(StorageLevel.DISK_ONLY)
+            return df.persist()
         if resume and store.exists(name):
             return store.read(name)
         df = build()

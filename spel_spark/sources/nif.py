@@ -25,6 +25,13 @@ from pyspark.sql import functions as F
 
 _WIKI_PREFIX = "http://en.wikipedia.org/wiki/"
 
+_TTL_HEADER = (
+    "@prefix itsrdf: <http://www.w3.org/2005/11/its/rdf#> .\n"
+    "@prefix nif: <http://persistence.uni-leipzig.org/nlp2rdf/ontologies/"
+    "nif-core#> .\n"
+    "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+)
+
 
 def _unescape(col):
     """Turtle string unescape for the two escapes GERBIL emits."""
@@ -64,7 +71,11 @@ def parse_nif_gold(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
         nn("ref"), nn("ident"),
         F.max(F.col("is_context").cast("int")).alias("is_context"),
     )
-    doc_id_of = lambda c: F.regexp_extract(c, r"/(\d+)$", 1).cast("int")  # noqa: E731
+    # try_cast, not cast: Catalyst collapses this projection into the
+    # aggregate, so it evaluates on ALL groups — including the
+    # nif:ContextCollection subject whose URI has no trailing /<n> (ANSI
+    # cast('') would throw there even though the filter drops the row).
+    doc_id_of = lambda c: F.regexp_extract(c, r"/(\d+)$", 1).try_cast("int")  # noqa: E731
     contexts = blocks.filter(
         (F.col("is_context") == 1) & F.col("is_string").isNotNull()
     ).select(
@@ -76,9 +87,87 @@ def parse_nif_gold(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
         F.col("subj").contains("#offset_") & F.col("anchor").isNotNull()
     ).select(
         doc_id_of(F.col("ref")).alias("doc_id"),
-        F.col("begin_s").cast("int").alias("begin"),
-        F.col("end_s").cast("int").alias("end"),
+        F.col("begin_s").try_cast("int").alias("begin"),
+        F.col("end_s").try_cast("int").alias("end"),
         _unescape(F.col("anchor")).alias("surface"),
         F.replace(F.col("ident"), F.lit(_WIKI_PREFIX), F.lit("")).alias("entity"),
     )
     return contexts, phrases
+
+
+def _escape(col):
+    """Inverse of _unescape: turtle string escaping."""
+    return F.replace(
+        F.replace(col, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+    )
+
+
+def _nni(col):
+    return F.concat(F.lit('"'), col.cast("string"), F.lit('"^^xsd:nonNegativeInteger'))
+
+
+def to_nif_turtle(contexts: DataFrame, phrases: DataFrame) -> DataFrame:
+    """NIF sink (S8, the serialization half): annotated spans back to the
+    turtle wire format GERBIL consumes (reference: context.add_phrase at
+    src/spel/evaluate_local.py:61-66 + pynif serialization; '"' in entity
+    titles is %22-escaped exactly as evaluate_local.py:66 does).
+
+    contexts: (doc_id, doc_uri, text); phrases: (doc_id, begin, end,
+    surface, entity).  Returns one row per document: (doc_id, turtle) —
+    serialization is distributed; ``collect_turtle`` joins the blocks into
+    one document string with the prefix header.
+
+    Round-trip invariant (tested): parse_nif_gold(to_nif_turtle(parse(x)))
+    == parse(x).
+    """
+    ctx_block = F.concat(
+        F.lit("<"), F.col("doc_uri"), F.lit("> a nif:Context,\n"),
+        F.lit("        nif:OffsetBasedString ;\n"),
+        F.lit("    nif:beginIndex "), _nni(F.lit(0)), F.lit(" ;\n"),
+        F.lit("    nif:endIndex "), _nni(F.length("text")), F.lit(" ;\n"),
+        F.lit('    nif:isString "'), _escape(F.col("text")), F.lit('" .'),
+    )
+    ph = phrases.join(
+        contexts.select("doc_id", "doc_uri"), "doc_id"
+    ).select(
+        "doc_id",
+        F.struct("begin", "end", "surface", "entity", "doc_uri").alias("p"),
+    )
+    ph_block = lambda p: F.concat(  # noqa: E731
+        F.lit("<"), p["doc_uri"],
+        F.lit("#offset_"), p["begin"].cast("string"),
+        F.lit("_"), p["end"].cast("string"),
+        F.lit("> a nif:OffsetBasedString,\n        nif:Phrase ;\n"),
+        F.lit('    nif:anchorOf "'), _escape(p["surface"]), F.lit('" ;\n'),
+        F.lit("    nif:beginIndex "), _nni(p["begin"]), F.lit(" ;\n"),
+        F.lit("    nif:endIndex "), _nni(p["end"]), F.lit(" ;\n"),
+        F.lit("    nif:referenceContext <"), p["doc_uri"], F.lit("> ;\n"),
+        F.lit("    itsrdf:taIdentRef <"), F.lit(_WIKI_PREFIX),
+        F.replace(p["entity"], F.lit('"'), F.lit("%22")), F.lit("> ."),
+    )
+    ph_blocks = ph.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list("p")), ph_block
+            ),
+        ).alias("phrase_blocks")
+    )
+    return (
+        contexts.select("doc_id", ctx_block.alias("ctx_block"))
+        .join(ph_blocks, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n\n", F.col("ctx_block"), F.col("phrase_blocks")
+            ).alias("turtle"),
+        )
+    )
+
+
+def collect_turtle(doc_turtles: DataFrame) -> str:
+    """Assemble the per-document blocks into one turtle document string
+    (driver-side join of already-serialized blocks — the wire format is a
+    single HTTP payload in the reference's serving flow)."""
+    rows = doc_turtles.orderBy("doc_id").select("turtle").collect()
+    return _TTL_HEADER + "\n" + "\n\n".join(r.turtle for r in rows) + "\n"

@@ -103,3 +103,53 @@ def start_mention_ingest(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+CONV_STATS_OUTPUT_SCHEMA = (
+    "conv_id string, n_turns long, n_chars long, last_turn int"
+)
+CONV_STATS_STATE_SCHEMA = "n_turns long, n_chars long, last_turn int"
+
+
+def stateful_conversation_stats(stream: DataFrame) -> DataFrame:
+    """§2.9 custom stateful operator: per-conversation running stats via
+    ``applyInPandasWithState`` (the north-star's named primitive for
+    stateful streaming).  State = (n_turns, n_chars, last_turn) per
+    conv_id, updated per micro-batch; each update emits the conversation's
+    new totals (output mode: update).
+
+    The reference has no streaming at all (serving is one document per
+    locked HTTP request, src/gerbil_connect/server.py:45,88-116); this is
+    the Spark-native continuous analogue of its per-conversation
+    accumulation.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n_turns, n_chars, last_turn = (
+            state.get if state.exists else (0, 0, -1)
+        )
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].fillna("").str.len().sum())
+            if len(pdf):
+                last_turn = max(last_turn, int(pdf["turn_idx"].max()))
+        state.update((n_turns, n_chars, last_turn))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n_turns],
+                "n_chars": [n_chars],
+                "last_turn": [last_turn],
+            }
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=CONV_STATS_OUTPUT_SCHEMA,
+        stateStructType=CONV_STATS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

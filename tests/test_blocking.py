@@ -83,3 +83,28 @@ def test_surface_nodes_counts(spark):
     assert rows["search"].n_mentions == 2
     assert rows["search"].min_mention_id == 7
     assert rows["kamora ledger"].n_mentions == 1
+
+
+def test_salted_id_pairs_equals_naive(spark):
+    """Payload-free salted self-join == naive all-pairs, including an
+    oversized hot block that spans multiple salt cells."""
+    import itertools
+
+    from spel_spark.operators.blocking import salted_id_pairs
+
+    rows = [(i, "hot") for i in range(300)] + [
+        (1000 + i, f"cold{i % 7}" ) for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "id long, block_key string")
+    got = {
+        (r.a_id, r.b_id)
+        for r in salted_id_pairs(df, max_cell=32, max_salts=16).collect()
+    }
+    want = set()
+    by_key = {}
+    for i, k in rows:
+        by_key.setdefault(k, []).append(i)
+    for members in by_key.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            want.add((a, b))
+    assert got == want

@@ -1,22 +1,86 @@
-"""Multimodal plumbing: schemas, batching, deterministic stub kernels."""
+"""Multimodal: real PPM codec path (decode/resize/features/frame-sample),
+stub fallback for library-gated formats, batching, failure isolation."""
+
+import numpy as np
+import pytest
 
 from spel_spark.operators.multimodal import (
     audio_frame_sample,
+    decode_ppm,
+    encode_ppm,
     image_features,
+    resize_nearest,
     synthetic_media,
+    video_frame_sample,
 )
 
 
-def test_image_features_schema_and_determinism(spark):
+def test_ppm_codec_roundtrip():
+    rng = np.random.Generator(np.random.PCG64(3))
+    img = rng.integers(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # comments + arbitrary whitespace in header
+    manual = b"P6\n# a comment\n4  2\n255\n" + bytes(range(24))
+    got = decode_ppm(manual)
+    assert got.shape == (2, 4, 3)
+    assert got.reshape(-1).tolist() == list(range(24))
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\nxy")  # truncated
+    with pytest.raises(ValueError):
+        decode_ppm(b"JFIF....")
+
+
+def test_resize_nearest():
+    img = np.arange(36, dtype=np.uint8).reshape(6, 6, 1)
+    small = resize_nearest(img, 3, 3)
+    assert small.shape == (3, 3, 1)
+    assert small[0, 0, 0] == img[0, 0, 0]
+    up = resize_nearest(small, 6, 6)
+    assert up.shape == (6, 6, 1)
+
+
+def test_image_features_real_ppm_path(spark):
     media = synthetic_media(spark, n=30)
     f1 = image_features(media)
     rows1 = sorted((r.media_id, r.phash) for r in f1.collect())
     rows2 = sorted((r.media_id, r.phash) for r in image_features(media).collect())
-    assert rows1 == rows2
+    assert rows1 == rows2  # deterministic
     assert len(rows1) == media.filter("kind = 'image'").count()
-    first = f1.first()
-    assert len(first.feature) == 16
-    assert len(first.phash) == 16
+    first = f1.orderBy("media_id").first()
+    # real path: 3 channel means + 4x4 pooled grayscale = 19 features
+    assert len(first.feature) == 19
+    assert all(0.0 <= v <= 1.0 for v in first.feature)
+    # width/height come from the PPM header and match the table metadata
+    meta = {r.media_id: (r.width, r.height) for r in media.collect()}
+    for r in f1.collect():
+        assert (r.width, r.height) == meta[r.media_id]
+
+
+def test_image_features_stub_fallback(spark):
+    media = spark.createDataFrame(
+        [(1, "image", b"not-ppm-bytes", 10, 10, 0, "fake")],
+        "media_id long, kind string, payload binary, width int, height int, "
+        "duration_ms int, codec string",
+    )
+    out = image_features(media).collect()
+    assert len(out) == 1 and len(out[0].feature) == 16  # stub dim
+
+
+def test_video_frame_sample_real(spark):
+    media = synthetic_media(spark, n=30)
+    frames = video_frame_sample(media, every_k=2)
+    rows = frames.collect()
+    assert rows
+    # every video contributes ceil(n_frames / 2) sampled frames
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.media_id, []).append(r.frame_idx)
+    vid_ids = [r.media_id for r in media.filter("kind = 'video'").collect()]
+    assert sorted(by_vid) == sorted(vid_ids)
+    for mid, idxs in by_vid.items():
+        n_frames = 2 + mid % 4  # synthetic_media's generator parameter
+        assert sorted(idxs) == list(range(0, n_frames, 2))
+        assert all(len(f.feature) == 19 for f in rows if f.media_id == mid)
 
 
 def test_audio_frame_sample(spark):
@@ -31,7 +95,11 @@ def test_audio_frame_sample(spark):
 
 def test_corrupt_payload_dropped_not_fatal(spark):
     media = spark.createDataFrame(
-        [(1, "image", b"", 10, 10, 0, "fake"), (2, "image", b"ok-bytes", 10, 10, 0, "fake")],
+        [
+            (1, "image", b"", 10, 10, 0, "fake"),
+            (2, "image", b"ok-bytes", 10, 10, 0, "fake"),
+            (3, "image", b"P6\n9 9\n255\nshort", 9, 9, 0, "ppm"),  # truncated
+        ],
         "media_id long, kind string, payload binary, width int, height int, "
         "duration_ms int, codec string",
     )

@@ -38,3 +38,52 @@ def test_streaming_matches_batch(spark, corpus, tmp_path):
     got_ids = sorted(r.mention_id for r in got.select("mention_id").collect())
     want_ids = sorted(r.mention_id for r in batch.select("mention_id").collect())
     assert got_ids == want_ids  # replayed turns deduped, none lost
+
+
+def test_stateful_conversation_stats(spark, corpus, tmp_path):
+    """applyInPandasWithState: state accumulates ACROSS micro-batches —
+    the second batch's totals must include the first batch's turns."""
+    from spel_spark.streaming.ingest import (
+        read_transcript_stream,
+        stateful_conversation_stats,
+    )
+
+    src = str(tmp_path / "src2")
+    ckpt = str(tmp_path / "ckpt2")
+    head = corpus.transcripts.head(200)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    spark.createDataFrame(head.iloc[:100], schema=schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(head.iloc[100:], schema=schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    stats = stateful_conversation_stats(stream)
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("conv_stats")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.conv_id: (r.n_turns, r.n_chars, r.last_turn)
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY conv_id "
+            "ORDER BY n_turns DESC) rk FROM conv_stats) WHERE rk = 1"
+        ).collect()
+    }
+    want = {}
+    for _, row in head.iterrows():
+        n, c, l = want.get(row.conv_id, (0, 0, -1))
+        want[row.conv_id] = (
+            n + 1, c + len(row.text or ""), max(l, int(row.turn_idx))
+        )
+    assert got == want
