@@ -65,27 +65,6 @@ def _q_minhash_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_documents(spark, sf_dir)
 
 
-def _q_jaro_winkler_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JW over blocked part-name pairs — the Arrow-batched pandas UDF path."""
-    from pyspark.sql import functions as F
-
-    from spel_spark.functions.similarity import jaro_winkler_udf
-    from spel_spark.queries import q_norm_surface, q_pairs_exact_block
-
-    p = q_norm_surface(spark, sf_dir)
-    pairs = q_pairs_exact_block(spark, sf_dir)
-    a = p.select(F.col("p_partkey").alias("a_key"), F.col("norm_surface").alias("a_norm"))
-    b = p.select(F.col("p_partkey").alias("b_key"), F.col("norm_surface").alias("b_norm"))
-    return (
-        pairs.join(a, "a_key").join(b, "b_key")
-        .select(
-            "a_key", "b_key",
-            F.round(jaro_winkler_udf(F.col("a_norm"), F.col("b_norm")), 6)
-            .cast("double").alias("jw"),
-        )
-    )
-
-
 def _q_er_f1_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ER pipeline on the seeded synthetic transcript corpus (sf_dir is
     ignored — the corpus is generator-defined per FIXTURES.md) -> one row of
@@ -151,7 +130,6 @@ def _q_punct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": _q_simhash_dedup,
     "minhash_doc_clusters": _q_minhash_doc_clusters,
-    "jaro_winkler_scores": _q_jaro_winkler_scores,
     "er_f1_synthetic": _q_er_f1_synthetic,
     "pairs_engine": _q_pairs_engine,
     "pair_scores_engine": _q_pair_scores_engine,

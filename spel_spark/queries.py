@@ -300,6 +300,43 @@ FROM tok
 SQL_PAIR_SCORES = _SQL_PAIR_SCORES_BASE
 
 
+def q_jaro_winkler(spark, sf_dir):
+    """X12 Jaro-Winkler over blocked pairs — the Arrow-batched pandas UDF
+    with the native/numpy kernel (functions/similarity.py).  Oracle: DuckDB's
+    builtin jaro_winkler_similarity (verified to agree with the kernel on
+    500 randomized cases; the only divergence is ''-vs-'' where our kernel
+    returns 1.0 — the CASE below pins the oracle to the same convention)."""
+    from spel_spark.functions.similarity import jaro_winkler_udf
+
+    p = q_norm_surface(spark, sf_dir)
+    pairs = q_pairs_exact_block(spark, sf_dir)
+    a = p.select(F.col("p_partkey").alias("a_key"), F.col("norm_surface").alias("a_norm"))
+    b = p.select(F.col("p_partkey").alias("b_key"), F.col("norm_surface").alias("b_norm"))
+    return (
+        pairs.join(a, "a_key").join(b, "b_key")
+        .select(
+            "a_key", "b_key",
+            _r6(jaro_winkler_udf(F.col("a_norm"), F.col("b_norm"))).alias("jw"),
+        )
+    )
+
+
+SQL_JARO_WINKLER = f"""
+WITH n AS (
+  SELECT p_partkey, {norm_surface_sql('p_name')} AS norm_surface FROM part),
+b AS (
+  SELECT p_partkey, norm_surface,
+         'f:' || string_split(norm_surface, ' ')[1] AS block_key FROM n)
+SELECT a.p_partkey AS a_key, c.p_partkey AS b_key,
+       CAST(round(CASE WHEN a.norm_surface = '' AND c.norm_surface = ''
+            THEN 1.0
+            ELSE jaro_winkler_similarity(a.norm_surface, c.norm_surface)
+            END, 6) AS DOUBLE) AS jw
+FROM b a JOIN b c USING (block_key)
+WHERE a.p_partkey < c.p_partkey
+"""
+
+
 def q_match_edges(spark, sf_dir):
     """Threshold filter over scored pairs (the edge builder)."""
     return q_pair_scores(spark, sf_dir).filter(F.col("jacc") >= 0.5).select(
@@ -385,6 +422,43 @@ def q_minhash_signature(spark, sf_dir):
     return p.select(
         "p_partkey", *[c.alias(f"mh{i}") for i, c in enumerate(mh)]
     )
+
+
+def q_simhash_signature(spark, sf_dir):
+    """SimHash signature, portable 32-bit md5 variant (the engine's
+    64-bit xxhash64 form is operators/dedup.py:simhash64, rows-only).
+    Same sign-of-per-bit-weighted-sums operator, md5 token hashes so
+    Spark and DuckDB agree bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
+    sums = h.groupBy("doc_id").agg(*[
+        F.sum(
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"b{i}")
+        for i in range(32)
+    ])
+    sim = F.lit(0).cast("long")
+    for i in range(32):
+        sim = sim.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("doc_id", sim.alias("simhash32"))
+
+
+SQL_SIMHASH_SIGNATURE = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM t),
+b AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN range(0, 32) r(i) GROUP BY doc_id, i)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+       AS simhash32
+FROM b GROUP BY doc_id
+"""
 
 
 def _sql_shingles(expr):
@@ -832,6 +906,108 @@ FROM preds p LEFT JOIN allow a
 """
 
 
+def q_doc_clusters_portable(spark, sf_dir):
+    """Oracle-checked twin of the flagship ``cluster_documents`` flow:
+    3-gram shingles -> 4-seed md5 MinHash -> r=1 band candidates -> exact
+    shingle-Jaccard verify (>= 0.8) -> connected components ->
+    (doc_id, cluster_id, cluster_size).  Same operator chain as entry(),
+    with md5 in place of xxhash64 so DuckDB reproduces the edges exactly;
+    the DuckDB twin computes components with a recursive transitive-closure
+    CTE (fine at oracle scale; the engine uses large-star/small-star)."""
+    from spel_spark.operators.clustering import connected_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.substr(F.col("text"), i, F.lit(3)))
+    )
+    docs = d.select("doc_id", sh.alias("grams"))
+    mh = docs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("grams"), lambda g, s=s: F.md5(F.concat(F.lit(s), g))
+                )
+            ).alias(f"m{i}")
+            for i, s in enumerate(MD5_SEEDS)
+        ],
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[F.concat(F.lit(f"{i}:"), F.col(f"m{i}")) for i in range(len(MD5_SEEDS))]
+            )
+        ).alias("bk"),
+    )
+    a = bands.select(F.col("doc_id").alias("a_doc"), "bk")
+    b = bands.select(F.col("doc_id").alias("b_doc"), "bk")
+    cand = (
+        a.join(b, "bk")
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .select("a_doc", "b_doc")
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("a_doc"), F.col("grams").alias("ga"))
+    sb = docs.select(F.col("doc_id").alias("b_doc"), F.col("grams").alias("gb"))
+    jac = F.size(F.array_intersect("ga", "gb")) / F.size(F.array_union("ga", "gb"))
+    edges = (
+        cand.join(sa, "a_doc").join(sb, "b_doc")
+        .filter(jac >= 0.8)
+        .select(F.col("a_doc").alias("a_id"), F.col("b_doc").alias("b_id"))
+    )
+    comps = connected_components(edges)
+    out = (
+        d.select("doc_id")
+        .join(comps, F.col("doc_id") == F.col("node"), "left")
+        .withColumn("cluster_id", F.coalesce("component", "doc_id"))
+        .select("doc_id", "cluster_id")
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+SQL_DOC_CLUSTERS_PORTABLE = f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, text FROM documents),
+sh AS (SELECT doc_id, {_sql_shingles('text')} AS grams FROM d),
+mh AS (SELECT doc_id,
+  list_min(list_transform(grams, g -> md5('s1' || g))) AS m0,
+  list_min(list_transform(grams, g -> md5('s2' || g))) AS m1,
+  list_min(list_transform(grams, g -> md5('s3' || g))) AS m2,
+  list_min(list_transform(grams, g -> md5('s4' || g))) AS m3
+ FROM sh),
+bands AS (
+  SELECT doc_id, '0:' || m0 AS bk FROM mh UNION ALL
+  SELECT doc_id, '1:' || m1 FROM mh UNION ALL
+  SELECT doc_id, '2:' || m2 FROM mh UNION ALL
+  SELECT doc_id, '3:' || m3 FROM mh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT a_doc, b_doc
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.a_doc
+  JOIN sh sb ON sb.doc_id = cand.b_doc
+  WHERE len(list_intersect(sa.grams, sb.grams))::DOUBLE
+        / len(list_distinct(list_concat(sa.grams, sb.grams))) >= 0.8),
+sym AS (
+  SELECT a_doc AS a, b_doc AS b FROM edges
+  UNION SELECT b_doc, a_doc FROM edges),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM cl
+"""
+
+
 # --------------------------------------------------------------------------
 # engine-path pair generation (rows-only: xxhash64 ids have no DuckDB twin)
 # --------------------------------------------------------------------------
@@ -896,12 +1072,15 @@ CATALOG: dict[str, tuple] = {
     "blocking_first_token": (q_blocking_first_token, SQL_BLOCKING_FIRST_TOKEN),
     "pairs_exact_block": (q_pairs_exact_block, SQL_PAIRS_EXACT_BLOCK),
     "pair_scores": (q_pair_scores, SQL_PAIR_SCORES),
+    "jaro_winkler_scores": (q_jaro_winkler, SQL_JARO_WINKLER),
     "match_edges": (q_match_edges, SQL_MATCH_EDGES),
     "pairwise_micro_f1": (q_pairwise_micro_f1, SQL_PAIRWISE_MICRO_F1),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+    "simhash_signature": (q_simhash_signature, SQL_SIMHASH_SIGNATURE),
     "lsh_band_keys": (q_lsh_band_keys, SQL_LSH_BAND_KEYS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "doc_clusters_portable": (q_doc_clusters_portable, SQL_DOC_CLUSTERS_PORTABLE),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
