@@ -105,6 +105,33 @@ def start_mention_ingest(
     return writer.start()
 
 
+def windowed_mention_counts(
+    stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """§2.9 event-time windowed aggregation with late-data handling:
+    per-(window, conv_id) turn counts + total text length.  The watermark
+    bounds state — a row later than ``watermark`` behind the max event
+    time is dropped rather than reopening its window, so state size is
+    O(active windows), not O(history) (the property that keeps this
+    running forever on a 100-TB/day stream).  Append output mode: a window
+    row is emitted exactly once, when the watermark passes its end."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("n_chars"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "conv_id", "n_turns", "n_chars",
+        )
+    )
+
+
 CONV_STATS_OUTPUT_SCHEMA = (
     "conv_id string, n_turns long, n_chars long, last_turn int"
 )
