@@ -84,3 +84,40 @@ def test_nif_parser_plan_is_jvm_only(spark):
     contexts, phrases = parse_nif_gold(spark, ttl)
     assert "EvalPython" not in physical_plan(phrases)
     assert "EvalPython" not in physical_plan(contexts)
+
+
+def test_simhash_signature_is_jvm_only_one_shuffle(spark, sf001_dir):
+    """Portable SimHash: explode + one map-side-combinable aggregate —
+    zero Python, exactly one exchange (the groupBy)."""
+    from spel_spark.queries import q_simhash_signature
+
+    df = q_simhash_signature(spark, sf001_dir)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_jaro_winkler_query_is_arrow_only(spark, sf001_dir):
+    """JW catalog query: the kernel runs as an Arrow pandas UDF, never
+    row-at-a-time Python."""
+    from spel_spark.queries import q_jaro_winkler
+
+    df = q_jaro_winkler(spark, sf001_dir)
+    assert count_arrow_eval_nodes(df) >= 1
+    assert_no_row_python(df)
+
+
+def test_windowed_stream_counts_plan_is_jvm_only(spark):
+    """Streaming windowed agg: stateful agg over window(ts), zero Python
+    (audited on the batch twin of the same expression tree)."""
+    import datetime as dt
+
+    from spel_spark.streaming.ingest import windowed_mention_counts
+
+    batch = spark.createDataFrame(
+        [("a", 0, "user", "x", None, dt.datetime(2026, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    df = windowed_mention_counts(batch)
+    assert "EvalPython" not in physical_plan(df)
