@@ -906,6 +906,88 @@ FROM preds p LEFT JOIN allow a
 """
 
 
+def q_token_counts(spark, sf_dir):
+    """Token counting for training-data budgeting: whitespace tokens, a
+    BPE-ish regex token count (alnum runs + one token per other non-space
+    char — the classic pre-tokenizer shape), and a subword estimate
+    (ceil(len/4) per whitespace word, the rule-of-thumb BPE fertility).
+    All JVM builtins; one narrow map."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]")).alias(
+            "bpe_tokens"
+        ),
+        F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+        ).alias("subword_est"),
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+  len(list_filter(string_split(text, ' '), w -> w != '')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
+  CAST(list_sum(list_transform(list_filter(string_split(text, ' '), w -> w != ''),
+       w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS subword_est
+FROM documents
+"""
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroid (the IVF/classifier building block):
+    element-wise mean over array<float> columns via posexplode ->
+    (label, pos) mean -> ordered re-assembly.  Shuffles (label, pos) pairs
+    — dim x labels rows — never whole vectors twice."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    by_pos = e.groupBy("label", "pos").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    # centroid serialized as micro-unit integers CSV: float formatting and
+    # array reprs differ between Spark and DuckDB result frames, so the
+    # portable form is floor(m*1e6 + 0.5) joined with ','
+    return (
+        by_pos.groupBy("label")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.floor(s["m"] * F.lit(1e6) + F.lit(0.5)).cast("string"),
+                ),
+            ).alias("centroid_micro"),
+            F.max("n").alias("n_vecs"),
+        )
+        .select("label", "centroid_micro", "n_vecs")
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH x AS (
+  SELECT label, u.pos, u.v FROM (
+    SELECT label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> struct_pack(pos := i - 1,
+                                   v := embedding[i]::DOUBLE))) AS u
+    FROM embeddings)),
+m AS (
+  SELECT label, pos, avg(v) AS m, count(*) AS n
+  FROM x GROUP BY label, pos)
+SELECT label,
+       list_aggregate(
+         array_agg(CAST(floor(m * 1e6 + 0.5) AS BIGINT)::VARCHAR ORDER BY pos),
+         'string_agg', ',') AS centroid_micro,
+       CAST(max(n) AS BIGINT) AS n_vecs
+FROM m GROUP BY label
+"""
+
+
 def q_doc_clusters_portable(spark, sf_dir):
     """Oracle-checked twin of the flagship ``cluster_documents`` flow:
     3-gram shingles -> 4-seed md5 MinHash -> r=1 band candidates -> exact
@@ -1084,6 +1166,8 @@ CATALOG: dict[str, tuple] = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "lang_stopword_ratio": (q_lang_stopword_ratio, SQL_LANG_STOPWORD),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "bioes_tagging": (q_bioes_tagging, SQL_BIOES),
