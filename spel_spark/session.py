@@ -71,7 +71,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPEL_DRIVER_MEM", "8g"))
+        # local mode runs all 32 executor threads inside the driver JVM, so
+        # this IS the cluster's memory: at 8g the heavy array-join queries
+        # GC-thrash once a session accumulates state (measured: 24 s cold ->
+        # 174 s after a few prior jobs at 8g; flat ~27 s at 32g).  Under
+        # spark-submit on a real cluster the JVM already exists and this
+        # setting is inert — driver memory comes from the submit command.
+        .config("spark.driver.memory", os.environ.get("SPEL_DRIVER_MEM", "32g"))
     )
     # In local mode .master() applies; under spark-submit on a cluster the
     # master comes from the submit command and this is a no-op override.
