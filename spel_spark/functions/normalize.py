@@ -76,7 +76,11 @@ def norm_surface_col(col: Column) -> Column:
     """
     c = fold_unicode_col(col)
     c = F.lower(c)
-    c = F.regexp_replace(c, r"'s\b", "")
+    # explicit ASCII boundary class instead of \b: Java regex \b here is
+    # unicode-aware while RE2 (DuckDB) and re.ASCII (Python twin) are not —
+    # "bob'sñx" would normalize three different ways.  After lower() the
+    # only word chars are [a-z0-9_], so 's([^a-z0-9_]|$) == ASCII 's\b.
+    c = F.regexp_replace(c, r"'s([^a-z0-9_]|$)", "$1")
     c = F.regexp_replace(c, r"_+", " ")
     c = F.regexp_replace(c, r"[^a-z0-9 ]+", " ")
     c = F.regexp_replace(c, r" +", " ")
@@ -84,7 +88,9 @@ def norm_surface_col(col: Column) -> Column:
 
 
 _UNI_TABLE = str.maketrans(_UNI_SRC, _UNI_DST)
-_RE_POSS = re.compile(r"'s\b")
+# explicit ASCII boundary (see norm_surface_col): \b is unicode-aware in
+# Python and Java but ASCII in RE2 — the capture form means one behavior
+_RE_POSS = re.compile(r"'s([^a-z0-9_]|$)")
 _RE_UND = re.compile(r"_+")
 _RE_NONALNUM = re.compile(r"[^a-z0-9 ]+")
 _RE_WS = re.compile(r" +")
@@ -101,7 +107,7 @@ def norm_surface_py(s: str) -> str:
     """Pure-Python twin of :func:`norm_surface_col` (same steps, same order)."""
     c = fold_unicode_py(s)
     c = c.lower()
-    c = _RE_POSS.sub("", c)
+    c = _RE_POSS.sub(r"\1", c)
     c = _RE_UND.sub(" ", c)
     c = _RE_NONALNUM.sub(" ", c)
     c = _RE_WS.sub(" ", c)
@@ -125,7 +131,7 @@ def norm_surface_sql(expr: str) -> str:
     folded = f"translate({folded}, {_sql_str(_UNI_SRC)}, {_sql_str(_UNI_DST)})"
     return (
         "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-        f"lower({folded}), '''s\\b', '', 'g'), '_+', ' ', 'g'), "
+        f"lower({folded}), '''s([^a-z0-9_]|$)', '\\1', 'g'), '_+', ' ', 'g'), "
         "'[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))"
     )
 

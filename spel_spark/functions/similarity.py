@@ -299,11 +299,30 @@ def jaro_winkler_batch(sa: list, sb: list, prefix_weight: float = 0.1):
     if n == 0:
         return np.zeros(0, dtype=np.float64)
     fn = _load_jw_native()
-    if fn is None:
-        return np.array(
-            [jaro_winkler_py(x, y, prefix_weight) for x, y in zip(sa, sb)],
-            dtype=np.float64,
+    # rows beyond the kernel's 64Ki flag-buffer cap go to the Python twin:
+    # the kernel would silently TRUNCATE them (diverging from hosts without
+    # a C compiler), and the padded char matrix would be n x maxlen anyway
+    long_rows = [
+        i for i, (x, y) in enumerate(zip(sa, sb))
+        if len(x or "") > 65536 or len(y or "") > 65536
+    ]
+    if fn is None or long_rows:
+        if fn is None or len(long_rows) == n:
+            return np.array(
+                [jaro_winkler_py(x, y, prefix_weight) for x, y in zip(sa, sb)],
+                dtype=np.float64,
+            )
+        keep = np.ones(n, dtype=bool)
+        keep[long_rows] = False
+        out = np.zeros(n, dtype=np.float64)
+        out[~keep] = [jaro_winkler_py(sa[i], sb[i], prefix_weight) for i in long_rows]
+        short = jaro_winkler_batch(
+            [sa[i] for i in range(n) if keep[i]],
+            [sb[i] for i in range(n) if keep[i]],
+            prefix_weight,
         )
+        out[keep] = short
+        return out
     A, la = _char_matrix(sa)
     B, lb = _char_matrix(sb)
     out = np.zeros(n, dtype=np.float64)

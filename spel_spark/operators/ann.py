@@ -123,14 +123,24 @@ def ivf_centroids(
         try:
             from pyspark.ml.clustering import KMeans
             from pyspark.ml.functions import array_to_vector
-
+        except ImportError:
+            cents = None  # ML package absent: the documented fallback case
+        else:
+            # NO bare fallback on fit errors: random centroids would
+            # silently collapse recall (queries probing data-independent
+            # cells) while the job still reports success — an operational
+            # failure must surface, not degrade.
             feat = embeddings.select(
                 array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
             )
             model = KMeans(k=nlist, seed=seed, maxIter=10).fit(feat)
-            cents = [c.toArray().tolist() for c in model.clusterCenters()]
-        except Exception:
-            cents = None
+            # clusterCenters() returns MLlib Vectors in some versions and
+            # numpy arrays in others (pyspark 4); the old bare-except
+            # silently swapped in RANDOM centroids when .toArray() missed
+            cents = [
+                (c.toArray() if hasattr(c, "toArray") else np.asarray(c)).tolist()
+                for c in model.clusterCenters()
+            ]
     if cents is None:
         rng = np.random.Generator(np.random.PCG64(seed))
         cents = rng.standard_normal((nlist, dim)).tolist()

@@ -160,6 +160,13 @@ def minhash_near_dup_pairs(
        miss rate itself).
     3. Survivors get the exact token-set Jaccard.
 
+    Cache lifecycle: the signature and token-set tables are persist()ed
+    because the returned plan consumes each twice (both join sides); they
+    stay cached until the caller's action completes.  Long-lived sessions
+    calling this repeatedly should ``spark.catalog.clearCache()`` between
+    independent runs (bench.py does) — unpersisting here would force the
+    most expensive stages to recompute inside the very plan we return.
+
     Band shape r = n_hashes/bands: the default 4 rows x 8 bands keeps
     recall at j >= 0.8 at 98.5% banding (+ ~0 prefilter loss) while
     admitting ~4x fewer sub-threshold candidates than 2 x 8 on dense

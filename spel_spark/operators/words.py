@@ -66,7 +66,15 @@ def word_candidates(subwords: DataFrame) -> DataFrame:
     nsub = subwords.groupBy("doc_id", "word_idx").agg(
         F.count(F.lit(1)).alias("n_subwords")
     )
-    agg = ex.groupBy("doc_id", "word_idx", "entity_id").agg(
+    # set semantics per subword: a duplicated entity_id inside one top_k
+    # must count as ONE hit with its best p (the reference intersects SETS,
+    # span_annotation.py:78-79) — count(*) would inflate n_hits past
+    # n_subwords and double-count sum_p
+    per_sub = ex.groupBy("doc_id", "word_idx", "subword_idx", "entity_id").agg(
+        F.max("p").alias("p"),
+        F.min("pos").alias("pos"),
+    )
+    agg = per_sub.groupBy("doc_id", "word_idx", "entity_id").agg(
         F.count(F.lit(1)).alias("n_hits"),
         F.sum("p").alias("sum_p"),
         F.sum((F.col("pos") == 0).cast("long")).alias("votes"),

@@ -932,8 +932,9 @@ SQL_TOKEN_COUNTS = """
 SELECT doc_id,
   len(list_filter(string_split(text, ' '), w -> w != '')) AS ws_tokens,
   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
-  CAST(list_sum(list_transform(list_filter(string_split(text, ' '), w -> w != ''),
-       w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS subword_est
+  CAST(coalesce(list_sum(list_transform(
+       list_filter(string_split(text, ' '), w -> w != ''),
+       w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS subword_est
 FROM documents
 """
 

@@ -34,10 +34,14 @@ _TTL_HEADER = (
 
 
 def _unescape(col):
-    """Turtle string unescape for the two escapes GERBIL emits."""
-    return F.replace(
-        F.replace(col, F.lit('\\"'), F.lit('"')), F.lit("\\\\"), F.lit("\\")
-    )
+    """Turtle string unescape for the escapes GERBIL emits: \\\\ , \\" and
+    \\n.  An escaped backslash is swapped to a \\x00 sentinel FIRST so a
+    literal backslash followed by 'n' (wire form ``\\\\n``) is not wrongly
+    decoded as a newline."""
+    c = F.replace(col, F.lit("\\\\"), F.lit("\x00"))
+    c = F.replace(c, F.lit("\\n"), F.lit("\n"))
+    c = F.replace(c, F.lit('\\"'), F.lit('"'))
+    return F.replace(c, F.lit("\x00"), F.lit("\\"))
 
 
 def parse_nif_gold(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
@@ -96,10 +100,12 @@ def parse_nif_gold(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
 
 
 def _escape(col):
-    """Inverse of _unescape: turtle string escaping."""
-    return F.replace(
-        F.replace(col, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
-    )
+    """Inverse of _unescape: turtle string escaping (backslash first, then
+    quote, then newline — raw newlines are illegal inside single-quoted
+    turtle literals and would also break the line-based parser)."""
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    return F.replace(c, F.lit("\n"), F.lit("\\n"))
 
 
 def _nni(col):

@@ -138,12 +138,16 @@ CONV_STATS_OUTPUT_SCHEMA = (
 CONV_STATS_STATE_SCHEMA = "n_turns long, n_chars long, last_turn int"
 
 
-def stateful_conversation_stats(stream: DataFrame) -> DataFrame:
+def stateful_conversation_stats(
+    stream: DataFrame, idle_timeout_ms: int = 30 * 60 * 1000
+) -> DataFrame:
     """§2.9 custom stateful operator: per-conversation running stats via
     ``applyInPandasWithState`` (the north-star's named primitive for
     stateful streaming).  State = (n_turns, n_chars, last_turn) per
     conv_id, updated per micro-batch; each update emits the conversation's
-    new totals (output mode: update).
+    new totals (output mode: update).  State is evicted after
+    ``idle_timeout_ms`` without new turns (ProcessingTimeTimeout), so the
+    store stays O(active conversations) on an unbounded stream.
 
     The reference has no streaming at all (serving is one document per
     locked HTTP request, src/gerbil_connect/server.py:45,88-116); this is
@@ -155,6 +159,12 @@ def stateful_conversation_stats(stream: DataFrame) -> DataFrame:
     def update(key, pdfs, state):
         import pandas as pd
 
+        # idle-timeout eviction: on an unbounded conv_id stream, NoTimeout
+        # state grows O(total distinct conversations ever seen) — this
+        # bounds it to O(conversations active within the timeout window)
+        if state.hasTimedOut:
+            state.remove()
+            return
         n_turns, n_chars, last_turn = (
             state.get if state.exists else (0, 0, -1)
         )
@@ -164,6 +174,7 @@ def stateful_conversation_stats(stream: DataFrame) -> DataFrame:
             if len(pdf):
                 last_turn = max(last_turn, int(pdf["turn_idx"].max()))
         state.update((n_turns, n_chars, last_turn))
+        state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 "conv_id": [key[0]],
@@ -178,5 +189,5 @@ def stateful_conversation_stats(stream: DataFrame) -> DataFrame:
         outputStructType=CONV_STATS_OUTPUT_SCHEMA,
         stateStructType=CONV_STATS_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

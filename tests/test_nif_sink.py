@@ -109,3 +109,32 @@ def test_ep1_lifecycle(spark):
     m = span_metric_counts(gold, pred).collect()[0]
     assert (m.tp, m.n_pred, m.n_gold) == (2, 2, 2)
     assert m.f1 == pytest.approx(1.0)
+
+
+def test_nif_roundtrip_multiline_and_backslash(spark, tmp_path):
+    """Sink/parse round-trip for texts with newlines, quotes, and literal
+    backslash-n sequences (raw newlines are illegal in single-quoted
+    turtle; the escaper must emit \\n and the parser decode it — while a
+    LITERAL backslash+n survives as two characters)."""
+    from spel_spark.sources.nif import collect_turtle, parse_nif_gold, to_nif_turtle
+
+    contexts = spark.createDataFrame(
+        [
+            (0, "https://x/ctx/0", 'line one\nline "two"\nliteral \\n stays'),
+            (1, "https://x/ctx/1", "plain"),
+        ],
+        "doc_id int, doc_uri string, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(0, 0, 8, "line one", "E1")],
+        "doc_id int, begin int, end int, surface string, entity string",
+    )
+    p = tmp_path / "ml.ttl"
+    p.write_text(collect_turtle(to_nif_turtle(contexts, phrases)))
+    c2, p2 = parse_nif_gold(spark, str(p))
+    got = {(r.doc_id, r.text) for r in c2.collect()}
+    assert got == {
+        (0, 'line one\nline "two"\nliteral \\n stays'),
+        (1, "plain"),
+    }
+    assert {tuple(r) for r in p2.collect()} == {(0, 0, 8, "line one", "E1")}

@@ -82,3 +82,29 @@ def test_norm_surface_py_idempotent(s):
     fixpoint, so re-normalizing checkpointed data never drifts."""
     n = norm_surface_py(s)
     assert norm_surface_py(n) == n
+
+
+def test_possessive_boundary_is_ascii(spark):
+    """Python's \\b is unicode-aware; Java regex and RE2 use ASCII \\w.
+    The twin must use re.ASCII so "bob'sñx" normalizes identically in all
+    three implementations (the 's strips before the unicode char)."""
+    import duckdb
+
+    from spel_spark.functions.normalize import (
+        norm_surface_col,
+        norm_surface_py,
+        norm_surface_sql,
+    )
+
+    cases = ["bob'sñx", "ann's", "it's-a", "x'sé", "q's9", "no apostrophe"]
+    py = [norm_surface_py(t) for t in cases]
+    con = duckdb.connect()
+    sql = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {norm_surface_sql('s')} FROM (SELECT unnest(?) AS s)", [cases]
+        ).fetchall()
+    ]
+    df = spark.createDataFrame([(t,) for t in cases], "s string")
+    col = [r.n for r in df.select(norm_surface_col(F.col("s")).alias("n")).collect()]
+    assert py == sql == col, (py, sql, col)

@@ -123,3 +123,33 @@ def test_word_resolution_oracle_parity(spark, sf001_dir):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_duplicate_entity_in_topk_counts_once(spark):
+    """Set semantics: entity 7 duplicated inside subword 0's top_k must
+    count as ONE hit with its best p — it is NOT in the intersection
+    (absent from subword 1), so the unanimous entity 5 wins."""
+    from pyspark.sql import functions as F
+
+    from spel_spark.operators.words import resolve_words, word_candidates
+
+    subwords = spark.createDataFrame(
+        [
+            (0, 0, 0, [(7, 0.9), (7, 0.8), (5, 0.6)]),
+            (0, 0, 1, [(5, 0.7)]),
+        ],
+        "doc_id long, word_idx long, subword_idx long, "
+        "top_k array<struct<entity_id: long, p: double>>",
+    )
+    cand = {
+        r.entity_id: (r.n_hits, r.is_candidate, r.avg_p)
+        for r in word_candidates(subwords).collect()
+    }
+    import pytest as _pt
+
+    assert cand[7][:2] == (1, False)   # one hit (set semantics)
+    assert cand[7][2] == _pt.approx(0.45)   # best p 0.9 / 2 subwords
+    assert cand[5][:2] == (2, True)
+    assert cand[5][2] == _pt.approx(0.65)
+    got = resolve_words(subwords).collect()[0]
+    assert got.resolved_entity == 5
