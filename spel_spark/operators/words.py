@@ -108,9 +108,16 @@ def resolve_words(subwords: DataFrame) -> DataFrame:
     )
     ranked = (
         cand.withColumn("unanimous", F.col("votes") == F.col("n_subwords"))
+        # round to 6 dp for the COMPARISON (the exported confidence
+        # precision): two entities whose sums differ only in summation
+        # order (float ulps) must tie here and fall through to votes —
+        # otherwise Spark and the DuckDB oracle pick different winners
         .withColumn(
             "cand_avg_p",
-            F.when(F.col("is_candidate"), F.col("avg_p")).otherwise(F.lit(0.0)),
+            F.round(
+                F.when(F.col("is_candidate"), F.col("avg_p")).otherwise(F.lit(0.0)),
+                6,
+            ),
         )
         .withColumn("rk", F.row_number().over(w))
     )
@@ -138,7 +145,10 @@ def resolve_word_py(top_k_lists: list[list[tuple[int, float]]]) -> tuple[int, fl
     rows = []
     for c in sorted(entities):
         hits = sum(1 for tk in top_k_lists if any(i == c for i, _ in tk))
-        sum_p = sum(next((p for i, p in tk if i == c), 0.0) for tk in top_k_lists)
+        # max p per subword (set semantics for duplicated ids in one top_k)
+        sum_p = sum(
+            max((p for i, p in tk if i == c), default=0.0) for tk in top_k_lists
+        )
         votes = sum(1 for x in r if x == c)
         first_vote = next((k for k, x in enumerate(r) if x == c), None)
         avg_p = sum_p / n
@@ -149,7 +159,9 @@ def resolve_word_py(top_k_lists: list[list[tuple[int, float]]]) -> tuple[int, fl
         ))
     rows.sort(
         key=lambda t: (
-            -int(t[1]), -int(t[2]), -t[3], -t[4],
+            # round(6) on the avg comparison, matching resolve_words: float
+            # summation-order ulps must not decide between candidates
+            -int(t[1]), -int(t[2]), -round(t[3], 6), -t[4],
             t[5] if t[5] is not None else float("inf"), t[0],
         )
     )

@@ -817,7 +817,7 @@ rk AS (
   SELECT *, row_number() OVER (
     PARTITION BY doc_id, word_idx
     ORDER BY unanimous DESC, is_cand DESC,
-             CASE WHEN is_cand THEN avg_p ELSE 0.0 END DESC,
+             round(CASE WHEN is_cand THEN avg_p ELSE 0.0 END, 6) DESC,
              votes DESC, first_vote ASC NULLS LAST, entity_id ASC) AS rnk
   FROM feat)
 SELECT doc_id, word_idx, entity_id AS resolved_entity,
