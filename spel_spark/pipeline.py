@@ -90,16 +90,24 @@ def run_pipeline(
         if store is None:
             df = build()
             # fuse into one DAG; persist only small reused outputs.
-            # mentions (wide, 10^7+ rows) goes to DISK_ONLY: the in-memory
-            # columnar cache fill GC-thrashes at high parallelism (measured
-            # 8-thread wall 2.5x WORSE than recomputing), while a disk
-            # spill is a sequential bandwidth-bound write that scales.
+            # mentions (wide, 10^7+ rows): MEMORY_AND_DISK with the 32g
+            # local-mode heap (pinned A/B at 8M turns: 62.2 s vs 63.7 s
+            # DISK_ONLY at 8 threads, scaling eff 0.866 vs 0.824).  Under
+            # the old 8g heap the in-memory columnar fill GC-thrashed and
+            # DISK_ONLY won — storage level is env-tunable for small-heap
+            # deployments via SPEL_MENTIONS_STORAGE.
             if name in _EPHEMERAL_NO_PERSIST:
                 return df
             if name == "mentions":
+                import os
+
                 from pyspark import StorageLevel
 
-                return df.persist(StorageLevel.DISK_ONLY)
+                lvl = getattr(
+                    StorageLevel,
+                    os.environ.get("SPEL_MENTIONS_STORAGE", "MEMORY_AND_DISK"),
+                )
+                return df.persist(lvl)
             return df.persist()
         if resume and store.exists(name):
             return store.read(name)
