@@ -108,16 +108,20 @@ def resolve_words(subwords: DataFrame) -> DataFrame:
     )
     ranked = (
         cand.withColumn("unanimous", F.col("votes") == F.col("n_subwords"))
-        # round to 6 dp for the COMPARISON (the exported confidence
-        # precision): two entities whose sums differ only in summation
-        # order (float ulps) must tie here and fall through to votes —
-        # otherwise Spark and the DuckDB oracle pick different winners
+        # COMPARISON key = floor(avg*1e9 + 0.5) as a scaled integer: two
+        # entities whose sums differ only in float summation order (ulps,
+        # ~1e-16) must tie here and fall through to votes — while real
+        # probability differences down to 1e-9 still rank.  floor-scaled
+        # integers, not round(): Spark round is HALF_UP, Python round is
+        # HALF_EVEN, DuckDB scale-multiplies — three different winners at
+        # half boundaries; floor(x*1e9+0.5) is identical in all three.
         .withColumn(
             "cand_avg_p",
-            F.round(
-                F.when(F.col("is_candidate"), F.col("avg_p")).otherwise(F.lit(0.0)),
-                6,
-            ),
+            F.floor(
+                F.when(F.col("is_candidate"), F.col("avg_p")).otherwise(F.lit(0.0))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("long"),
         )
         .withColumn("rk", F.row_number().over(w))
     )
@@ -157,11 +161,15 @@ def resolve_word_py(top_k_lists: list[list[tuple[int, float]]]) -> tuple[int, fl
             c, votes == n, is_cand, avg_p if is_cand else 0.0, votes,
             first_vote, avg_p,
         ))
+    import math
+
     rows.sort(
         key=lambda t: (
-            # round(6) on the avg comparison, matching resolve_words: float
-            # summation-order ulps must not decide between candidates
-            -int(t[1]), -int(t[2]), -round(t[3], 6), -t[4],
+            # floor(x*1e9+0.5) scaled-integer comparison, matching
+            # resolve_words: summation-order ulps must not decide between
+            # candidates, and floor-scaling has one behavior in Spark,
+            # Python and DuckDB (round() has three)
+            -int(t[1]), -int(t[2]), -math.floor(t[3] * 1e9 + 0.5), -t[4],
             t[5] if t[5] is not None else float("inf"), t[0],
         )
     )

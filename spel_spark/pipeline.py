@@ -43,6 +43,27 @@ from spel_spark.operators.scoring import DEFAULT_THRESHOLD, score_pairs, thresho
 STAGES = ["mentions", "surfaces", "blocks", "pairs", "scores", "edges", "clusters"]
 
 
+def mentions_storage_level():
+    """Storage level for the (wide) mentions persist, shared by the fused
+    pipeline and bench.py so the bench always measures the shipped plan.
+    MEMORY_AND_DISK default (pinned A/B at 8M turns with the 32g heap:
+    62.2 s vs 63.7 s DISK_ONLY at 8 threads); override with
+    SPEL_MENTIONS_STORAGE for small-heap deployments."""
+    import os
+
+    from pyspark import StorageLevel
+
+    name = os.environ.get("SPEL_MENTIONS_STORAGE", "MEMORY_AND_DISK")
+    lvl = getattr(StorageLevel, name, None)
+    if not isinstance(lvl, StorageLevel):
+        valid = [n for n in dir(StorageLevel) if n[0].isupper()]
+        raise ValueError(
+            f"SPEL_MENTIONS_STORAGE={name!r} is not a pyspark StorageLevel; "
+            f"valid: {', '.join(valid)}"
+        )
+    return lvl
+
+
 @dataclass
 class PipelineConfig:
     threshold: float = DEFAULT_THRESHOLD
@@ -99,15 +120,7 @@ def run_pipeline(
             if name in _EPHEMERAL_NO_PERSIST:
                 return df
             if name == "mentions":
-                import os
-
-                from pyspark import StorageLevel
-
-                lvl = getattr(
-                    StorageLevel,
-                    os.environ.get("SPEL_MENTIONS_STORAGE", "MEMORY_AND_DISK"),
-                )
-                return df.persist(lvl)
+                return df.persist(mentions_storage_level())
             return df.persist()
         if resume and store.exists(name):
             return store.read(name)

@@ -800,12 +800,18 @@ ex AS (
   UNION ALL SELECT doc_id, word_idx, subword_idx, 2, c, p3 FROM sub),
 nsub AS (
   SELECT doc_id, word_idx, count(*) AS n_subwords FROM sub GROUP BY 1, 2),
+-- set semantics per subword (mirrors word_candidates' per_sub step): a
+-- duplicated entity_id inside one top_k counts once with its best p
+per_sub AS (
+  SELECT doc_id, word_idx, subword_idx, entity_id,
+         max(p) AS p, min(pos) AS pos
+  FROM ex GROUP BY 1, 2, 3, 4),
 agg AS (
   SELECT doc_id, word_idx, entity_id,
          count(*) AS n_hits, sum(p) AS sum_p,
          sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS votes,
          min(CASE WHEN pos = 0 THEN subword_idx END) AS first_vote
-  FROM ex GROUP BY 1, 2, 3),
+  FROM per_sub GROUP BY 1, 2, 3),
 feat AS (
   SELECT a.doc_id, a.word_idx, a.entity_id, n.n_subwords,
          a.sum_p / n.n_subwords AS avg_p,
@@ -817,7 +823,8 @@ rk AS (
   SELECT *, row_number() OVER (
     PARTITION BY doc_id, word_idx
     ORDER BY unanimous DESC, is_cand DESC,
-             round(CASE WHEN is_cand THEN avg_p ELSE 0.0 END, 6) DESC,
+             CAST(floor((CASE WHEN is_cand THEN avg_p ELSE 0.0 END) * 1e9
+                  + 0.5) AS BIGINT) DESC,
              votes DESC, first_vote ASC NULLS LAST, entity_id ASC) AS rnk
   FROM feat)
 SELECT doc_id, word_idx, entity_id AS resolved_entity,

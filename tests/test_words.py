@@ -153,3 +153,10 @@ def test_duplicate_entity_in_topk_counts_once(spark):
     assert cand[5][2] == _pt.approx(0.65)
     got = resolve_words(subwords).collect()[0]
     assert got.resolved_entity == 5
+    # the Python twin must apply the same set semantics (max p per
+    # subword for duplicated ids), not first-occurrence or plain sum
+    from spel_spark.operators.words import resolve_word_py
+
+    ent, conf = resolve_word_py([[(7, 0.9), (7, 0.8), (5, 0.6)], [(5, 0.7)]])
+    assert ent == 5
+    assert conf == _pt.approx(got.confidence)
