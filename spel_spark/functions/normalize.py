@@ -73,6 +73,15 @@ def norm_surface_col(col: Column) -> Column:
     Steps: mojibake fix -> unicode fold -> lowercase -> strip possessive
     's -> underscores to spaces -> strip non-alphanumerics -> collapse
     whitespace -> trim.
+
+    Documented deviation (consecutive possessives): the capture form
+    ``'s([^a-z0-9_]|$)`` CONSUMES the boundary character, so a global
+    replace skips overlapping matches — "bob's's" normalizes to "bob s"
+    here (all three twins agree) where the reference's ``'s\\b`` would
+    give "bob".  Nested possessives don't occur in entity surfaces; the
+    capture form is kept because it is the only spelling with ONE
+    behavior across Java regex / RE2 / Python re (see boundary note
+    below).
     """
     c = fold_unicode_col(col)
     c = F.lower(c)

@@ -301,10 +301,14 @@ def jaro_winkler_batch(sa: list, sb: list, prefix_weight: float = 0.1):
     fn = _load_jw_native()
     # rows beyond the kernel's 64Ki flag-buffer cap go to the Python twin:
     # the kernel would silently TRUNCATE them (diverging from hosts without
-    # a C compiler), and the padded char matrix would be n x maxlen anyway
+    # a C compiler), and the padded char matrix would be n x maxlen anyway.
+    # Rows containing NUL go with them: numpy's 0-padded 'U' matrix cannot
+    # distinguish a trailing '\x00' from padding (np.char.str_len would
+    # under-count), so only the Python twin scores them bit-identically
     long_rows = [
         i for i, (x, y) in enumerate(zip(sa, sb))
         if len(x or "") > 65536 or len(y or "") > 65536
+        or "\x00" in (x or "") or "\x00" in (y or "")
     ]
     if fn is None or long_rows:
         if fn is None or len(long_rows) == n:

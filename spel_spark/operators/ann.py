@@ -47,6 +47,54 @@ def with_lsh_signature(
     return vecs.withColumn("lsh_sig", sig)
 
 
+def salted_bipartite_id_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    key_col: str = "band",
+    max_cell: int = 1024,
+    max_salts: int = 64,
+) -> DataFrame:
+    """Skew-salted bipartite equi-join on ``key_col``, ids only.
+
+    The two-table analogue of blocking.salted_id_pairs: the RIGHT
+    (corpus) side of each bucket is split into ceil(n/max_cell) salt
+    cells, and every LEFT (query) row in that bucket is replicated across
+    the cells — each join task sees at most ``max_cell`` right rows per
+    key.  AQE skew-join can't save a hot LSH bucket here because both
+    sides of the bucket grow together; explicit salting bounds the cell
+    no matter how degenerate the bucket.  Output: distinct
+    (left_id, right_id) candidate pairs — payloads (vectors) are joined
+    back by the caller on the survivors only.
+    """
+    counts = right.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_members"))
+    n_salts = F.least(
+        F.greatest(F.ceil(F.col("n_members") / max_cell), F.lit(1)),
+        F.lit(max_salts),
+    ).cast("int")
+    r_side = (
+        right.join(counts, key_col)
+        .withColumn("n_salts", n_salts)
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64(right_id, F.lit(11)), F.col("n_salts")).cast("int"),
+        )
+        .select(key_col, right_id, "salt")
+    )
+    l_side = (
+        left.join(counts, key_col)  # inner: keys absent on the right match nothing
+        .withColumn("n_salts", n_salts)
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1)))
+        .select(key_col, left_id, "salt")
+    )
+    return (
+        l_side.join(r_side, [key_col, "salt"])
+        .select(left_id, right_id)
+        .distinct()
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -58,6 +106,13 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """LSH-bucketed cosine top-k: candidates = rows sharing any band of the
     sign signature; verify with exact cosine; row_number <= k.
+
+    Scale shape: the band explode and bucket join carry ONLY (id, band) —
+    never the vectors — and the join is skew-salted
+    (salted_bipartite_id_pairs), so a hot bucket costs bounded cells of
+    16-byte rows instead of replicated float arrays.  Vectors are joined
+    back on the deduplicated surviving candidates for the exact-cosine
+    verify (same ids-first discipline as dedup.minhash_near_dup_pairs).
 
     Returns (q_id, nbr_id, rk, cos).  Recall vs brute force is measured in
     tests (tests/test_ann.py) — raise n_bits/bands for higher recall.
@@ -76,20 +131,18 @@ def ann_lsh_topk(
         ]
         return sig.select(
             F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(f"{id_alias}_v"),
             F.explode(F.array(*band_cols)).alias("band"),
         )
 
-    q = banded(queries, "q_id")
-    e = banded(embeddings, "nbr_id")
-    cands = (
-        q.join(e, "band")
-        .filter(F.col("q_id") != F.col("nbr_id"))
-        .select("q_id", "q_id_v", "nbr_id", "nbr_id_v")
-        .distinct()
-    )
-    scored = cands.select(
-        "q_id", "nbr_id", cosine_sim(F.col("q_id_v"), F.col("nbr_id_v")).alias("cos_raw")
+    cands = salted_bipartite_id_pairs(
+        banded(queries, "q_id"), banded(embeddings, "nbr_id"), "q_id", "nbr_id"
+    ).filter(F.col("q_id") != F.col("nbr_id"))
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v"))
+    ev = embeddings.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_v"))
+    scored = (
+        cands.join(qv, "q_id")
+        .join(ev, "nbr_id")
+        .select("q_id", "nbr_id", cosine_sim(F.col("q_v"), F.col("nbr_v")).alias("cos_raw"))
     )
     from pyspark.sql import Window
 

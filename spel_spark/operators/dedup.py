@@ -49,10 +49,23 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def simhash_candidate_pairs(
     sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 8
 ) -> DataFrame:
-    """Near-dup candidates: equal 16-bit band -> verify popcount(xor)."""
+    """Near-dup candidates: equal 16-bit band -> verify popcount(xor).
+
+    Candidate generation routes through the TRIANGLE-SALTED id-only
+    self-join (blocking.salted_id_pairs) — the same skew treatment as the
+    MinHash path below.  A degenerate band value (e.g. a boilerplate-heavy
+    corpus slice where one 16-bit band collides for 10^5 documents) would
+    otherwise recreate the hot-key blowup in a single join task; salting
+    bounds every cell, and the 8-byte simhash is joined back afterwards
+    for the popcount verify (ids-only through the salt cells).
+    """
+    from spel_spark.operators.blocking import salted_id_pairs
+
+    # consumed three times (band explode + both verify sides): persist so
+    # the 64-way conditional-sum aggregation behind `sims` runs once
+    sims = sims.persist()
     bands = sims.select(
         F.col(id_col),
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -67,13 +80,12 @@ def simhash_candidate_pairs(
             )
         ).alias("band"),
     )
-    a = bands.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sh_a"), "band")
-    b = bands.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sh_b"), "band")
+    cands = salted_id_pairs(bands, id_col=id_col, key_col="band")
+    sa = sims.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sh_a"))
+    sb = sims.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sh_b"))
     return (
-        a.join(b, "band")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "sh_a", "sh_b")
-        .distinct()
+        cands.join(sa, "a_id")
+        .join(sb, "b_id")
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
@@ -151,13 +163,13 @@ def minhash_near_dup_pairs(
        emitted by a single broadcast-join task over the 1-split parquet
        scan).  Salting bounds every join cell — the document-dedup
        analogue of hot mention surfaces (SURVEY §4 custom work #1).
-    2. Candidates are prefiltered by SIGNATURE agreement (16 BIGINTs =
-       128 bytes/side) before the wide token arrays are ever shuffled:
-       the matching-minhash fraction is an unbiased Jaccard estimate, so
-       requiring est >= threshold/2 kills the hot-bucket bulk (true
-       Jaccard ~0.3) at negligible recall cost (P[estimate < t/2 | true
-       j >= 0.8] = P[Binom(16,0.8) <= 6] ~ 3e-5 — far below the banding
-       miss rate itself).
+    2. Candidates are prefiltered by SIGNATURE agreement (n_hashes
+       BIGINTs — 256 bytes/side at the default 32) before the wide token
+       arrays are ever shuffled: the matching-minhash fraction is an
+       unbiased Jaccard estimate, so requiring est >= threshold/2 kills
+       the hot-bucket bulk (true Jaccard ~0.3) at negligible recall cost
+       (P[estimate < t/2 | true j >= 0.8] = P[Binom(32,0.8) <= 12]
+       ~ 5e-8 — far below the banding miss rate itself).
     3. Survivors get the exact token-set Jaccard.
 
     Cache lifecycle: the signature and token-set tables are persist()ed

@@ -125,3 +125,17 @@ def pairwise_f1_by_block(resolved: DataFrame) -> DataFrame:
         "block_key", "tp", "fp", "fn", "n_pairs",
         prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
     )
+
+
+def pairwise_macro_f1(resolved: DataFrame) -> DataFrame:
+    """A6 macro row: UNWEIGHTED means of the per-block P/R/F1 — the final
+    aggregation the reference computes across documents
+    (src/spel/decao_eval.py:1205-1221, sum(f1_scores)/len(f1_scores)); each
+    block counts once regardless of its pair volume.  One row:
+    (n_blocks, macro_precision, macro_recall, macro_f1)."""
+    return pairwise_f1_by_block(resolved).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.avg("precision").alias("macro_precision"),
+        F.avg("recall").alias("macro_recall"),
+        F.avg("f1").alias("macro_f1"),
+    )

@@ -400,6 +400,72 @@ FROM agg
 """
 
 
+def q_macro_f1(spark, sf_dir):
+    """A6 macro P/R/F1: per-block (user) F1 rows averaged UNWEIGHTED into
+    the reference's final macro row (src/spel/decao_eval.py:1205-1221) —
+    exercises operators/metrics.pairwise_f1_by_block + pairwise_macro_f1
+    over the same stand-in pair labeling as pairwise_micro_f1."""
+    from spel_spark.operators.metrics import pairwise_macro_f1
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    a = ev.select(
+        F.col("user_id"), F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("a_type"),
+        F.date_format("ts", "yyyy-MM-dd").alias("a_day"),
+    )
+    b = ev.select(
+        F.col("user_id"), F.col("event_id").alias("b_id"),
+        F.col("event_type").alias("b_type"),
+        F.date_format("ts", "yyyy-MM-dd").alias("b_day"),
+    )
+    resolved = (
+        a.join(b, "user_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("user_id").cast("string").alias("block_key"),
+            (F.col("a_type") == F.col("b_type")).alias("same_entity"),
+            (F.col("a_day") == F.col("b_day")).alias("pred_same"),
+        )
+    )
+    out = pairwise_macro_f1(resolved)
+    return out.select(
+        "n_blocks",
+        _r6(F.col("macro_precision")).alias("macro_precision"),
+        _r6(F.col("macro_recall")).alias("macro_recall"),
+        _r6(F.col("macro_f1")).alias("macro_f1"),
+    )
+
+
+SQL_MACRO_F1 = """
+WITH s AS (SELECT * FROM events WHERE event_id % 7 = 0),
+pairs AS (
+  SELECT a.user_id AS block_key,
+         a.event_type = b.event_type AS g,
+         strftime(a.ts, '%Y-%m-%d') = strftime(b.ts, '%Y-%m-%d') AS p
+  FROM s a JOIN s b ON a.user_id = b.user_id AND a.event_id < b.event_id),
+per AS (
+  SELECT block_key,
+         CAST(sum(CASE WHEN g AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN NOT g AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN g AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM pairs GROUP BY block_key),
+scored AS (
+  SELECT tp::DOUBLE / greatest(tp + fp, 1) AS prec,
+         tp::DOUBLE / greatest(tp + fn, 1) AS rec
+  FROM per),
+f AS (
+  SELECT prec, rec,
+         CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec)
+              ELSE 0.0 END AS f1
+  FROM scored)
+SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+  CAST(round(avg(prec), 6) AS DOUBLE) AS macro_precision,
+  CAST(round(avg(rec), 6) AS DOUBLE) AS macro_recall,
+  CAST(round(avg(f1), 6) AS DOUBLE) AS macro_f1
+FROM f
+"""
+
+
 def _md5_minhash_cols(norm_col):
     """Portable MinHash: per seed, min over md5(seed || shingle) hex strings
     (md5 is bit-identical in Spark and DuckDB; string min is total order)."""
@@ -546,27 +612,44 @@ SELECT a_doc, b_doc, lang, jacc FROM p WHERE jacc >= 0.8
 
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs within a label block — zip_with/
-    aggregate dot product, no UDF."""
-    e = _t(spark, sf_dir, "embeddings").select(
+    aggregate dot product, no UDF.
+
+    The corpus is augmented with PLANTED duplicates (copies of vec_id < 5
+    at vec_id + 1,000,000) so the checked result is non-empty at every SF:
+    the synthetic embeddings' natural in-label cosine tops out ~0.47, so a
+    high threshold alone would green-light a vacuous empty-vs-empty parity
+    check.  Threshold 0.4 admits both the planted exact dups (cos = 1.0)
+    and the densest natural near-dups — the kernel is exercised on both.
+    """
+    base = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = base.unionByName(
+        base.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "label", "v"
+        )
     )
     a = e.select(F.col("vec_id").alias("a_vec"), "label", F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("b_vec"), "label", F.col("v").alias("vb"))
     pairs = a.join(b, "label").filter(F.col("a_vec") < F.col("b_vec"))
     return (
         pairs.withColumn("cos", _r6(cosine_sim(F.col("va"), F.col("vb"))))
-        .filter(F.col("cos") >= 0.95)
+        .filter(F.col("cos") >= 0.4)
         .select("a_vec", "b_vec", "label", "cos")
     )
 
 
 SQL_DEDUP_EMBEDDING_COSINE = """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, label, v FROM base WHERE vec_id < 5),
 p AS (
   SELECT a.vec_id AS a_vec, b.vec_id AS b_vec, a.label,
          CAST(round(list_cosine_similarity(a.v, b.v), 6) AS DOUBLE) AS cos
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-SELECT a_vec, b_vec, label, cos FROM p WHERE cos >= 0.95
+SELECT a_vec, b_vec, label, cos FROM p WHERE cos >= 0.4
 """
 
 
@@ -1165,6 +1248,7 @@ CATALOG: dict[str, tuple] = {
     "jaro_winkler_scores": (q_jaro_winkler, SQL_JARO_WINKLER),
     "match_edges": (q_match_edges, SQL_MATCH_EDGES),
     "pairwise_micro_f1": (q_pairwise_micro_f1, SQL_PAIRWISE_MICRO_F1),
+    "macro_f1": (q_macro_f1, SQL_MACRO_F1),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "simhash_signature": (q_simhash_signature, SQL_SIMHASH_SIGNATURE),
     "lsh_band_keys": (q_lsh_band_keys, SQL_LSH_BAND_KEYS),

@@ -14,7 +14,12 @@ DataFrame (the same scale posture as read_redirects_json).  All three
 layouts normalize to one schema feeding candidate_filter (J8):
 
   (context_key STRING?, mention STRING?, begin_char INT?, end_char INT?,
-   entity STRING)
+   entity STRING, rank INT)
+
+``rank`` is the entity's 0-based position in its JSON list — candidate
+lists are RANK-ORDERED in the reference (candidate_manager.py:42-51
+appends preserving file order; downstream tie-breaks consume that order),
+so the file order must be recoverable: sort by rank within a key.
 """
 
 from __future__ import annotations
@@ -43,7 +48,10 @@ def read_candidate_json(spark: SparkSession, path: str, layout: str) -> DataFram
             "mention",
             null_i.alias("begin_char"),
             null_i.alias("end_char"),
-            F.explode("entities").alias("entity"),
+            F.posexplode("entities").alias("rank", "entity"),
+        ).select(
+            "context_key", "mention", "begin_char", "end_char", "entity",
+            F.col("rank").cast("int").alias("rank"),
         )
     nested = raw.select(
         F.explode(
@@ -56,7 +64,10 @@ def read_candidate_json(spark: SparkSession, path: str, layout: str) -> DataFram
             F.col("key").alias("mention"),
             null_i.alias("begin_char"),
             null_i.alias("end_char"),
-            F.explode("entities").alias("entity"),
+            F.posexplode("entities").alias("rank", "entity"),
+        ).select(
+            "context_key", "mention", "begin_char", "end_char", "entity",
+            F.col("rank").cast("int").alias("rank"),
         )
     # context_aware_spans: key is "(begin, end)" (candidate_manager.py:66)
     return nested.select(
@@ -64,14 +75,28 @@ def read_candidate_json(spark: SparkSession, path: str, layout: str) -> DataFram
         null_s.alias("mention"),
         F.regexp_extract("key", r"\((\d+),\s*(\d+)\)", 1).cast("int").alias("begin_char"),
         F.regexp_extract("key", r"\((\d+),\s*(\d+)\)", 2).cast("int").alias("end_char"),
-        F.explode("entities").alias("entity"),
+        F.posexplode("entities").alias("rank", "entity"),
+    ).select(
+        "context_key", "mention", "begin_char", "end_char", "entity",
+        F.col("rank").cast("int").alias("rank"),
     )
+
+
+_KEY_COLS = ["context_key", "mention", "begin_char", "end_char", "entity"]
 
 
 def union_candidates(a: DataFrame, b: DataFrame) -> DataFrame:
     """J9 union-merge of two candidate tables (testa ∪ testb): append
-    unseen (key, entity) pairs, first-seen wins for duplicates
-    (candidate_manager.py:42-51)."""
-    return a.unionByName(b).dropDuplicates(
-        ["context_key", "mention", "begin_char", "end_char", "entity"]
+    unseen (key, entity) pairs, FIRST-SEEN wins for duplicates — an
+    (entity, rank) present in ``a`` keeps a's rank even if ``b`` lists it
+    at a different position (candidate_manager.py:42-51 appends only
+    entities not already in the list).  groupBy treats NULL key parts as
+    equal, matching the reference's dict-keyed merge."""
+    tagged = a.withColumn("_src", F.lit(0)).unionByName(
+        b.withColumn("_src", F.lit(1))
+    )
+    return (
+        tagged.groupBy(*_KEY_COLS)
+        .agg(F.min(F.struct("_src", "rank")).alias("_first"))
+        .select(*_KEY_COLS, F.col("_first.rank").alias("rank"))
     )

@@ -45,11 +45,22 @@ def _unescape(col):
 
 
 def parse_nif_gold(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
-    """Parse a NIF turtle file into (contexts, phrases) DataFrames."""
-    raw = (
-        spark.read.text(path)
-        .withColumn("file", F.input_file_name())
-        .withColumn("mono", F.monotonically_increasing_id())
+    """Parse a NIF turtle file into (contexts, phrases) DataFrames.
+
+    Line order matters: the running last(subject) window attributes each
+    triple line to the most recent subject block.  A plain line-based read
+    would assign ``monotonically_increasing_id`` per SPLIT, and Spark
+    packs splits sorted by size — a file larger than one split could have
+    partitions out of file order and lines silently attributed to the
+    wrong subject.  So the file is read ``wholetext`` and line-numbered
+    with ``posexplode``: exact file order by construction, one scan task
+    per file.  Gold NIF annotation sets are small (the full AIDA gold is
+    a few MB); a multi-GB turtle corpus would need a per-block
+    (blank-line-delimited) source instead — out of scope for gold files.
+    """
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"),
+        F.posexplode(F.split("value", "\n")).alias("mono", "value"),
     )
     w = Window.partitionBy("file").orderBy("mono")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)

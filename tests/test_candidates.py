@@ -94,6 +94,39 @@ def test_union_merge_testa_testb(spark):
     assert u.count() == want_rows
 
 
+@needs_fixtures
+def test_candidate_rank_recovers_file_order(spark):
+    """Candidate lists are RANK-ORDERED in the reference
+    (candidate_manager.py:42-51); sorting by the rank column must
+    reproduce each JSON list byte-for-byte."""
+    path = os.path.join(TESTA, "context_agnostic_mentions.json")
+    df = read_candidate_json(spark, path, "context_agnostic")
+    raw = json.load(open(path))
+    for mention in list(raw)[:5] + ["LEICESTERSHIRE"]:
+        rows = (
+            df.filter(F.col("mention") == mention).orderBy("rank").collect()
+        )
+        assert [r.entity for r in rows] == raw[mention], mention
+        assert [r.rank for r in rows] == list(range(len(rows)))
+
+
+def test_union_first_seen_rank_wins(spark):
+    """J9 merge: an entity in both tables keeps table-a's rank (first-seen,
+    candidate_manager.py:42-51); b-only entities keep b's rank."""
+    schema = (
+        "context_key string, mention string, begin_char int, end_char int, "
+        "entity string, rank int"
+    )
+    a = spark.createDataFrame(
+        [(None, "m", None, None, "E1", 0), (None, "m", None, None, "E2", 1)], schema
+    )
+    b = spark.createDataFrame(
+        [(None, "m", None, None, "E2", 0), (None, "m", None, None, "E3", 1)], schema
+    )
+    got = {r.entity: r.rank for r in union_candidates(a, b).collect()}
+    assert got == {"E1": 0, "E2": 1, "E3": 1}
+
+
 def test_bad_layout_raises(spark):
     with pytest.raises(ValueError):
         read_candidate_json(spark, "/tmp/x.json", "nope")

@@ -49,6 +49,42 @@ def test_minhash_near_dup_pairs(spark, docs):
     assert all(p[0] != 3 and p[1] != 3 for p in got)
 
 
+def test_simhash_degenerate_band_matches_naive(spark):
+    """Skew gate: 400 near-identical docs (27 shared tokens, 1 unique) land
+    in shared 16-bit band buckets — the worst case the salted candidate
+    join exists for.  The salted path must return EXACTLY the pairs the
+    naive bucket-and-verify algorithm defines (computed in pure Python
+    from the collected signatures)."""
+    base = " ".join(f"tok{i}" for i in range(27))
+    docs = spark.createDataFrame(
+        [(i, f"{base} uniq{i}") for i in range(400)], "doc_id long, text string"
+    )
+    sims = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+
+    # pure-Python twin of the naive band-bucket + hamming verify
+    from collections import defaultdict
+    from itertools import combinations
+
+    buckets = defaultdict(set)
+    for d, sh in sims.items():
+        for j in range(4):
+            buckets[(j, (sh >> (16 * j)) & 0xFFFF)].add(d)
+    # every doc must actually share a bucket with many others (degenerate)
+    assert max(len(v) for v in buckets.values()) >= 100
+    want = set()
+    for members in buckets.values():
+        for a, b in combinations(sorted(members), 2):
+            ham = bin(((sims[a] ^ sims[b]) & ((1 << 64) - 1))).count("1")
+            if ham <= 8:
+                want.add((a, b))
+    got = {
+        (r.a_id, r.b_id)
+        for r in simhash_candidate_pairs(simhash64(docs), max_hamming=8).collect()
+    }
+    assert got == want
+    assert len(got) > 1000  # the degenerate corpus really is dense
+
+
 def test_cluster_documents_flagship(spark):
     out = cluster_documents(spark, "/root/testdata/sf0.001")
     n = out.count()

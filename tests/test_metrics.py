@@ -27,6 +27,33 @@ def test_micro_f1_hand_case(spark):
     assert row.recall == pytest.approx(1 / 3)
 
 
+def test_macro_f1_unweighted_mean(spark):
+    """A6: the macro row is the UNWEIGHTED mean of per-block F1
+    (decao_eval.py:1205-1221) — a huge block and a tiny block count
+    equally."""
+    from spel_spark.operators.metrics import pairwise_f1_by_block, pairwise_macro_f1
+
+    rows = (
+        # block "big": 8 pairs, 4 tp, 2 fp, 2 fn -> P=2/3, R=2/3, F1=2/3
+        [("big", True, True)] * 4
+        + [("big", False, True)] * 2
+        + [("big", True, False)] * 2
+        # block "tiny": 1 pair, perfect -> F1=1.0
+        + [("tiny", True, True)]
+    )
+    df = spark.createDataFrame(
+        rows, "block_key string, same_entity boolean, pred_same boolean"
+    )
+    per = {r.block_key: r.f1 for r in pairwise_f1_by_block(df).collect()}
+    assert per["big"] == pytest.approx(2 / 3)
+    assert per["tiny"] == pytest.approx(1.0)
+    m = pairwise_macro_f1(df).collect()[0]
+    assert m.n_blocks == 2
+    # unweighted: (2/3 + 1) / 2, NOT the pair-weighted micro value
+    assert m.macro_f1 == pytest.approx((2 / 3 + 1.0) / 2)
+    assert m.macro_precision == pytest.approx((2 / 3 + 1.0) / 2)
+
+
 def test_subword_eval_counters(spark):
     """A7 vs a hand-counted python twin (reference semantics:
     decao_eval.py:1335-1391 — masked overall/in/out accuracies)."""

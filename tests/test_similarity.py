@@ -57,6 +57,25 @@ def test_jw_batch_kernel_matches_py():
     assert list(jaro_winkler_batch(["", ""], ["", "x"])) == [1.0, 0.0]
 
 
+def test_jw_batch_nul_chars_match_py():
+    """Strings containing NUL route to the Python twin: numpy's 0-padded
+    'U' matrix can't distinguish a trailing '\\x00' from padding, so the
+    C path would under-count lengths and break the bit-for-bit guarantee
+    (ADVICE r2).  Mixed batches must stay aligned."""
+    from spel_spark.functions.similarity import jaro_winkler_batch
+
+    cases = [
+        ("abc\x00", "abc"), ("abc\x00", "abc\x00"), ("\x00", ""),
+        ("a\x00b", "ab"), ("martha", "marhta"),  # last one stays on the kernel
+        ("x", "x\x00\x00"),
+    ]
+    got = jaro_winkler_batch([c[0] for c in cases], [c[1] for c in cases])
+    for (a, b), g in zip(cases, got):
+        assert abs(jaro_winkler_py(a, b) - g) < 1e-12, (a, b)
+    # NUL is a real character: "abc\x00" != "abc" must NOT score 1.0
+    assert jaro_winkler_py("abc\x00", "abc") < 1.0
+
+
 def test_jw_udf_matches_py(spark):
     pairs = [("kamora ledger", "kamora"), ("abc", "abd"), ("x", "x"), ("", "y")]
     df = spark.createDataFrame(pairs, "a string, b string")
