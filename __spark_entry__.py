@@ -114,6 +114,19 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(e, q, k=5, nlist=8, nprobe=4)
 
 
+def _q_ep1_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1: the reference's full batch-evaluation lifecycle composed as one
+    DAG (parse NIF gold -> punct_tokenize -> synthesized subword top-k ->
+    resolve_words -> phrases -> re-segmenting span alignment -> MD/EL
+    micro P/R/F1; ref src/spel/evaluate_local.py:79-109).  Gold-vs-gold:
+    every F1 column must be 1.0.  Rows-only (NIF parse + window cascade
+    have no SQL twin); sf_dir is ignored — the input is the real
+    aida_testc.ttl gold (or the deterministic built-in fallback corpus)."""
+    from spel_spark.operators.evaluation import ep1_evaluate
+
+    return ep1_evaluate(spark)
+
+
 def _q_punct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 splitter over document text (token + exact char offsets)."""
     from pyspark.sql import functions as F
@@ -136,6 +149,7 @@ _ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
     "ann_ivf_topk": _q_ann_ivf_topk,
     "punct_tokens": _q_punct_tokens,
+    "ep1_flagship": _q_ep1_flagship,
 }
 
 

@@ -556,6 +556,60 @@ def _write_bench_md(r: dict) -> None:
         )
 
 
+def run_cc_scale() -> None:
+    """North-rule evidence for the distributed CC backend: a chain graph
+    LARGER than the driver-union-find threshold (default 6M edges in
+    chains of 64 — the worst case for hash-min round convergence), run on
+    local[8] with the large-star/small-star backend, reporting rounds,
+    wall, and a full correctness check (every node's component must be
+    its chain head — verified with one Spark aggregation, no collect).
+    Writes BENCH/CC_SCALE.json."""
+    from pyspark.sql import functions as F
+
+    from spel_spark.operators.clustering import connected_components
+    from spel_spark.session import get_spark
+
+    n_nodes = int(os.environ.get("SPEL_CC_NODES", "6100000"))
+    chain = 64
+    spark = get_spark(app_name="spel_cc_scale", master="local[8]",
+                      shuffle_partitions=16)
+    nodes = spark.range(n_nodes).select(F.col("id"))
+    edges = (
+        nodes.filter(F.col("id") % chain != chain - 1)
+        .select(F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id"))
+        .repartition(16)
+        .persist()
+    )
+    n_edges = edges.count()
+    assert n_edges > 5_000_000, n_edges  # must exceed driver_limit
+    stats: dict = {}
+    t0 = time.time()
+    comps = connected_components(edges, backend="distributed", stats=stats)
+    # correctness: a node's component must be its chain head (id - id%chain)
+    wrong = comps.filter(
+        F.col("component") != F.col("node") - F.pmod(F.col("node"), F.lit(chain))
+    ).count()
+    n_rows = comps.count()
+    wall = time.time() - t0
+    out = {
+        "metric": "cc_distributed_chain64",
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+        "chain_len": chain,
+        "backend": stats.get("backend"),
+        "rounds": stats.get("rounds"),
+        "wall_sec": round(wall, 1),
+        "edges_per_sec": round(n_edges / wall),
+        "component_rows": n_rows,
+        "wrong_components": wrong,
+    }
+    print(json.dumps(out))
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "CC_SCALE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
 if __name__ == "__main__":
     if "--calibrate" in sys.argv:
         _calibrate_main(int(sys.argv[sys.argv.index("--calibrate") + 1]))
@@ -565,5 +619,7 @@ if __name__ == "__main__":
         _run_level_main(int(sys.argv[i + 1]), sys.argv[i + 2], int(sys.argv[i + 3]), mode)
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--cc-scale" in sys.argv:
+        run_cc_scale()
     else:
         run_headline()

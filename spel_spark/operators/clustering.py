@@ -62,6 +62,7 @@ def connected_components(
     max_iter: int = 25,
     backend: str = "auto",
     driver_limit: int = 5_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Components of the undirected graph given by (a_id, b_id) edges.
 
@@ -78,9 +79,15 @@ def connected_components(
       single-threaded pass is faster than any shuffle round and — being a
       size-independent constant at every cluster size — does not distort
       scaling.  ``auto`` counts edges once and picks.
+
+    ``stats``, when passed, records {"backend", "rounds"} for
+    observability (bench.py --cc-scale uses it to evidence the
+    distributed path's O(log n) round count at >driver_limit scale).
     """
     if backend == "auto":
         backend = "driver" if edges.count() <= driver_limit else "distributed"
+    if stats is not None:
+        stats["backend"] = backend
     if backend == "driver":
         return _driver_union_find(edges)
     nbr = edges.select(
@@ -101,6 +108,8 @@ def connected_components(
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),  # overflow-free set checksum
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
+        if stats is not None:
+            stats["rounds"] = it + 1
         if prev_sig == sig:
             break
         prev_sig = sig

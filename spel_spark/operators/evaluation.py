@@ -1,0 +1,199 @@
+"""EP1 flagship composition: the reference's batch-evaluation lifecycle
+as ONE Spark DAG (src/spel/evaluate_local.py:79-109, aida_conll_evaluate).
+
+The reference's #1 entry point is: gold phrase-split documents -> model
+annotates the re-joined text per subword -> subword top-k lists resolve
+per word (span_annotation.py:77-121) -> consecutive same-annotation words
+merge to phrases (utils.py:389-396) -> the gold/predicted phrase streams
+align with re-segmentation + space-insensitive surface equality
+(utils.py:425-521) -> MD + EL micro P/R/F1 (evaluate_local.py:98-109).
+
+Here every stage is the already-tested Spark operator, chained:
+
+  parse_nif_gold -> punct_tokenize -> [synthesized subword top-k lists]
+  -> resolve_words -> phrases_from_annotations -> span_align_resegment
+  -> span_eval_from_alignment
+
+There is no neural model by design (SURVEY §4): the subword top-k lists
+are SYNTHESIZED deterministically from the gold labels, optionally with a
+seeded corruption, so the full lifecycle is exercised end-to-end with a
+known expected outcome — F1 = 1.0 when uncorrupted, a deterministic
+degraded F1 under corruption.  This is the pipeline-parity harness the
+round-2 verdict asked for (EP1), not a model reimplementation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spel_spark.functions.tokenize import punct_tokenize
+from spel_spark.operators.spans import (
+    phrases_from_annotations,
+    span_align_resegment,
+    span_eval_from_alignment,
+)
+from spel_spark.operators.words import resolve_words
+
+AIDA_TESTC = "/root/reference/resources/data/aida_testc.ttl"
+
+
+def load_gold(spark: SparkSession, ttl_path: str | None = None):
+    """(contexts, phrases) gold DataFrames: the real AIDA testc NIF file
+    when present, else a small deterministic in-memory corpus with the
+    same shape (so the composed query runs on any host)."""
+    from spel_spark.sources.nif import parse_nif_gold
+
+    path = ttl_path or AIDA_TESTC
+    if os.path.exists(path):
+        return parse_nif_gold(spark, path)
+    docs = [
+        (1, "Alice Smith met Bob at the Acme Corp office in Berlin ."),
+        (2, "Berlin is cold . Alice Smith works for Acme Corp ."),
+        (3, "Bob visited the office of Acme Corp near Berlin yesterday ."),
+    ]
+    spans = [
+        (1, 0, 11, "Alice Smith", "Alice_Smith"),
+        (1, 16, 19, "Bob", "Bob_Jones"),
+        (1, 27, 36, "Acme Corp", "Acme_Corp"),
+        (1, 47, 53, "Berlin", "Berlin"),
+        (2, 0, 6, "Berlin", "Berlin"),
+        (2, 17, 28, "Alice Smith", "Alice_Smith"),
+        (2, 39, 48, "Acme Corp", "Acme_Corp"),
+        (3, 0, 3, "Bob", "Bob_Jones"),
+        (3, 26, 35, "Acme Corp", "Acme_Corp"),
+        (3, 41, 47, "Berlin", "Berlin"),
+    ]
+    contexts = spark.createDataFrame(docs, "doc_id int, text string")
+    phrases = spark.createDataFrame(
+        spans, "doc_id int, begin int, end int, surface string, entity string"
+    )
+    return contexts, phrases
+
+
+def entity_vocab(phrases: DataFrame) -> DataFrame:
+    """A10-style vocab: distinct gold entity strings -> dense 1-based ids
+    (0 is reserved for O, matching the reference's null entity).  The
+    window is over the (tiny) distinct-entity table only."""
+    w = Window.orderBy("entity")
+    return (
+        phrases.select("entity").where(F.col("entity").isNotNull()).distinct()
+        .withColumn("entity_id", F.row_number().over(w))
+    )
+
+
+def label_words(tokens: DataFrame, gold: DataFrame) -> DataFrame:
+    """Label each token with its covering gold span's entity id (0 = O).
+
+    tokens: punct_tokenize output with doc ids in ``conv_id``; gold:
+    (doc_id, begin, end, entity_id).  Containment join — eval-sized."""
+    t = tokens.select(
+        F.col("conv_id").alias("doc_id"),
+        F.col("token_idx").alias("word_idx"),
+        F.col("tok").alias("word"),
+        "begin_char", "end_char",
+    )
+    g = gold.select(
+        F.col("doc_id").alias("g_doc"),
+        F.col("begin").alias("g_begin"), F.col("end").alias("g_end"),
+        "entity_id",
+    )
+    return (
+        t.join(
+            g,
+            (t["doc_id"] == F.col("g_doc"))
+            & (t["begin_char"] >= F.col("g_begin"))
+            & (t["end_char"] <= F.col("g_end")),
+            "left",
+        )
+        .withColumn("label", F.coalesce("entity_id", F.lit(0)))
+        .select("doc_id", "word_idx", "word", "begin_char", "end_char", "label")
+    )
+
+
+def synth_subword_annotations(
+    words: DataFrame, corrupt_every: int | None = None
+) -> DataFrame:
+    """Deterministic stand-in for the model's per-subword top-k output.
+
+    Each word becomes two subwords whose top-k list ranks the word's gold
+    label first (p = 0.85) over a decoy id (p = 0.10) — the shape
+    resolve_words consumes (span_annotation.py:77-121).  With
+    ``corrupt_every`` = N, words where xxhash64(doc_id, word_idx) % N == 0
+    flip their top-1: in-mention words to O (a recall miss) and O words to
+    entity id 1 (a precision miss) — seeded, so the degraded F1 is exactly
+    reproducible."""
+    lbl = F.col("label")
+    if corrupt_every:
+        hit = F.pmod(F.xxhash64(F.col("doc_id").cast("string"), "word_idx"),
+                     F.lit(corrupt_every)) == 0
+        lbl = F.when(hit & (lbl != 0), F.lit(0)).when(hit, F.lit(1)).otherwise(lbl)
+    # cast pins the struct field names: F.struct() silently names fields
+    # col1/col2 when the member is a CASE expression (alias dropped)
+    top_k = F.array(
+        F.struct(lbl.cast("int").alias("entity_id"), F.lit(0.85).alias("p")),
+        F.struct((lbl + 100000).cast("int").alias("entity_id"), F.lit(0.10).alias("p")),
+    ).cast("array<struct<entity_id:int,p:double>>")
+    return words.select(
+        "doc_id", "word_idx",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("subword_idx"),
+        top_k.alias("top_k"),
+    )
+
+
+def _phrase_stream(word_annotations: DataFrame) -> DataFrame:
+    """phrases_from_annotations output mapped to the alignment schema."""
+    return phrases_from_annotations(word_annotations).select(
+        "doc_id",
+        F.col("begin_char").alias("begin"),
+        F.col("end_char").alias("end"),
+        F.col("resolved_annotation").alias("entity"),
+        F.col("phrase").alias("surface"),
+    )
+
+
+def ep1_evaluate(
+    spark: SparkSession,
+    ttl_path: str | None = None,
+    corrupt_every: int | None = None,
+) -> DataFrame:
+    """The composed EP1 flagship: full reference evaluation lifecycle in
+    one DAG.  Returns ONE row: n_docs, n_gold_phrases, n_pred_phrases +
+    the MD/EL micro P/R/F1 columns of span_eval_from_alignment."""
+    contexts, gold_spans = load_gold(spark, ttl_path)
+    vocab = entity_vocab(gold_spans)
+    gold_ids = gold_spans.join(F.broadcast(vocab), "entity").select(
+        "doc_id", "begin", "end", "entity_id"
+    )
+    toks = punct_tokenize(
+        contexts.select(
+            F.col("doc_id").alias("conv_id"), F.lit(0).alias("turn_idx"), "text"
+        )
+    )
+    words = label_words(toks, gold_ids).persist()  # consumed by synth + joins x2
+
+    def stream(corrupt: int | None) -> DataFrame:
+        sub = synth_subword_annotations(words, corrupt)
+        resolved = resolve_words(sub)
+        ann = resolved.join(words, ["doc_id", "word_idx"]).select(
+            "doc_id", "word_idx",
+            F.col("resolved_entity").alias("resolved_annotation"),
+            "begin_char", "end_char", "word", "confidence",
+        )
+        return _phrase_stream(ann)
+
+    gold_stream = stream(None)
+    pred_stream = stream(corrupt_every)
+    segments = span_align_resegment(gold_stream, pred_stream)
+    metrics = span_eval_from_alignment(segments)
+    counts = (
+        words.groupBy()
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .crossJoin(gold_stream.filter(F.col("entity") != 0).groupBy().agg(
+            F.count(F.lit(1)).alias("n_gold_phrases")))
+        .crossJoin(pred_stream.filter(F.col("entity") != 0).groupBy().agg(
+            F.count(F.lit(1)).alias("n_pred_phrases")))
+    )
+    return counts.crossJoin(metrics)

@@ -118,6 +118,146 @@ def span_overlap_join(gold: DataFrame, pred: DataFrame) -> DataFrame:
     )
 
 
+def span_align_resegment(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """J6 full fidelity: re-segment both phrase streams at the union of
+    their span boundaries and compare aligned segments with the
+    reference's space-insensitive surface equality.
+
+    The reference aligns the gold and predicted phrase streams with a
+    stateful two-pointer merge that re-segments the longer span whenever
+    boundaries disagree (src/spel/utils.py:425-521 — the split/merge
+    branches build a ``new_phrase`` from the longer side's words until it
+    matches the shorter side) and treats two surfaces as the same span
+    when they are equal after removing spaces (utils.py:436-438 —
+    tokenizer drift like "U. S." vs "U.S.").
+
+    Set-based re-expression: both streams partition each document into
+    contiguous char intervals (O-runs are phrases too), so the merge's
+    emitted comparison pairs are exactly the nonempty pairwise
+    intersections of the two interval sets — an interval join, no
+    sequential state.  Each side's surface is sliced to the intersection
+    (offset arithmetic into its own surface string) so split/merge cases
+    compare the right text; the space-stripped comparison then absorbs
+    pure spacing drift between the slices.  Documented deviation: the
+    reference's word-granular common-prefix fallback ("re-alignment not
+    helpful", utils.py:486-497) is char-granular here.
+
+    This is an EVALUATION operator (gold sets are small); it is not on
+    the 100-TB extract/cluster hot path.
+
+    gold/pred: (doc_id, begin, end, entity, surface); entity NULL or 0
+    means O.  Output: one row per aligned segment —
+    (doc_id, seg_begin, seg_end, g_entity, p_entity, g_slice, p_slice,
+    span_match, status) with status one of the reference's
+    ComparisonResult names (utils.py:400-404) or 'UNALIGNED' where the
+    reference would raise.
+    """
+    g = gold.select(
+        F.col("doc_id").alias("g_doc"),
+        F.col("begin").alias("g_begin"), F.col("end").alias("g_end"),
+        F.coalesce(F.col("entity"), F.lit(0)).alias("g_entity"),
+        F.col("surface").alias("g_surface"),
+    )
+    p = pred.select(
+        F.col("doc_id").alias("p_doc"),
+        F.col("begin").alias("p_begin"), F.col("end").alias("p_end"),
+        F.coalesce(F.col("entity"), F.lit(0)).alias("p_entity"),
+        F.col("surface").alias("p_surface"),
+    )
+    joined = g.join(
+        p,
+        (F.col("g_doc") == F.col("p_doc"))
+        & (F.col("p_begin") < F.col("g_end"))
+        & (F.col("g_begin") < F.col("p_end")),
+        "full",
+    )
+    seg_begin = F.greatest("g_begin", "p_begin")
+    seg_end = F.least("g_end", "p_end")
+
+    # A segment covering its WHOLE span takes the span's surface verbatim:
+    # a detokenized surface may be longer than (end - begin) — e.g. the
+    # possessive split renders "kamora's" as "kamora 's" — and offset
+    # slicing would truncate it.  This is exactly the reference's
+    # special_condition case (utils.py:436-438): 1:1-aligned spans whose
+    # surfaces differ only in spacing.  Partial overlaps slice by char
+    # offsets (exact when the surface is a text slice, as NIF gold is).
+    def sliced(surface, span_begin, span_end):
+        whole = (seg_begin == F.col(span_begin)) & (seg_end == F.col(span_end))
+        return F.when(whole, F.col(surface)).otherwise(
+            F.substring(
+                F.col(surface), seg_begin - F.col(span_begin) + 1, seg_end - seg_begin
+            )
+        )
+
+    g_slice = sliced("g_surface", "g_begin", "g_end")
+    p_slice = sliced("p_surface", "p_begin", "p_end")
+    strip = lambda c: F.replace(c, F.lit(" "), F.lit(""))  # noqa: E731
+    span_match = strip(g_slice) == strip(p_slice)
+    g_is_o = F.col("g_entity") == 0
+    ann_right = F.col("g_entity") == F.col("p_entity")
+    status = (
+        F.when(F.col("g_doc").isNull() | F.col("p_doc").isNull(), F.lit("UNALIGNED"))
+        .when(~span_match, F.lit("UNALIGNED"))
+        .when(ann_right & g_is_o, F.lit("CORRECTLY_IGNORED_O"))
+        .when(ann_right, F.lit("CORRECTLY_FOUND_BOTH_SPAN_AND_ANNOTATION"))
+        .when(~g_is_o, F.lit("CORRECTLY_FOUND_SPAN_BUT_NOT_ANNOTATION"))
+        .otherwise(F.lit("OVER_GENERATED_ANNOTATION"))
+    )
+    return joined.select(
+        F.coalesce("g_doc", "p_doc").alias("doc_id"),
+        F.coalesce(seg_begin, F.col("g_begin"), F.col("p_begin")).alias("seg_begin"),
+        F.coalesce(seg_end, F.col("g_end"), F.col("p_end")).alias("seg_end"),
+        F.coalesce("g_entity", F.lit(0)).alias("g_entity"),
+        F.coalesce("p_entity", F.lit(0)).alias("p_entity"),
+        g_slice.alias("g_slice"),
+        p_slice.alias("p_slice"),
+        F.coalesce(span_match, F.lit(False)).alias("span_match"),
+        status.alias("status"),
+    )
+
+
+def span_eval_from_alignment(segments: DataFrame) -> DataFrame:
+    """MD + EL micro P/R/F1 from aligned segments — the reference's set
+    bookkeeping (src/spel/evaluate_local.py:98-109: g_ed/p_ed keyed by the
+    predicted segment's char interval, g_el/p_el additionally by entity)
+    as ONE aggregation.  Returns one row:
+    (md_tp, md_fp, md_fn, md_precision, md_recall, md_f1,
+     el_tp, el_fp, el_fn, el_precision, el_recall, el_f1)."""
+    g_in = F.col("g_entity") != 0
+    p_in = F.col("p_entity") != 0
+    agg = segments.agg(
+        F.sum((g_in & p_in).cast("long")).alias("md_tp"),
+        F.sum((~g_in & p_in).cast("long")).alias("md_fp"),
+        F.sum((g_in & ~p_in).cast("long")).alias("md_fn"),
+        F.sum((g_in & p_in & (F.col("g_entity") == F.col("p_entity"))).cast("long")).alias("el_tp"),
+        F.sum(p_in.cast("long")).alias("n_p"),
+        F.sum(g_in.cast("long")).alias("n_g"),
+    )
+
+    def prf(tp, fp, fn, prefix):
+        prec = tp / F.greatest(tp + fp, F.lit(1))
+        rec = tp / F.greatest(tp + fn, F.lit(1))
+        f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+        return [
+            prec.alias(f"{prefix}_precision"),
+            rec.alias(f"{prefix}_recall"),
+            f1.alias(f"{prefix}_f1"),
+        ]
+
+    md_tp, md_fp, md_fn = F.col("md_tp"), F.col("md_fp"), F.col("md_fn")
+    el_tp = F.col("el_tp")
+    el_fp = F.col("n_p") - el_tp
+    el_fn = F.col("n_g") - el_tp
+    return agg.select(
+        "md_tp", "md_fp", "md_fn",
+        *prf(md_tp, md_fp, md_fn, "md"),
+        el_tp.alias("el_tp"),
+        el_fp.alias("el_fp"),
+        el_fn.alias("el_fn"),
+        *prf(el_tp, el_fp, el_fn, "el"),
+    )
+
+
 def span_metric_counts(gold: DataFrame, pred: DataFrame, match_entity: bool = True) -> DataFrame:
     """J7/A5: micro MD/EL counters — |g∩p| via inner join + one agg
     (reference: src/spel/decao_eval.py:1185-1202)."""

@@ -36,6 +36,11 @@ def _kv(cols: F.Column, key: str) -> F.Column:
 def read_ppr_candidates(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """Parse PPRforNED-format text (one file per doc, filename = doc_id+1).
 
+    Per-doc candidate files are far below one split, so each file's lines
+    stay inside one partition and ``monotonically_increasing_id`` is
+    increasing in file order within it (the >1-split ordering hazard
+    documented at sources/nif.py:parse_nif_gold cannot apply here).
+
     Returns (candidate_records, candidates):
       candidate_records: doc_id, record_idx, text, normal_name,
         predicted_type, qid, orig_text, non_considered_word_count, url
@@ -57,6 +62,13 @@ def read_ppr_candidates(spark: SparkSession, path: str) -> tuple[DataFrame, Data
         .withColumn("doc_id", doc_id)
         .filter(F.length(F.trim("value")) > 0)
     )
+    return _parse_ppr_lines(lines)
+
+
+def _parse_ppr_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared ENTITY/CANDIDATE line parser (aida.py:92-171 semantics).
+
+    lines: (file, doc_id, line_no, value) with line_no ordered per file."""
     is_entity = F.col("value").startswith("ENTITY")
     cum = Window.partitionBy("file").orderBy("line_no").rowsBetween(
         Window.unboundedPreceding, 0
@@ -86,6 +98,70 @@ def read_ppr_candidates(spark: SparkSession, path: str) -> tuple[DataFrame, Data
         _kv(cols, "predictedType").alias("predicted_type"),
     )
     return records, cands
+
+
+def read_zip_members(
+    spark: SparkSession, zip_path: str, n_partitions: int = 32
+) -> DataFrame:
+    """S2 zip-member extraction, distributed (ref src/spel/aida.py:174-187
+    opens PPRforNED.zip and reads members named ``str(doc_id+1)`` one
+    lookup at a time).
+
+    Spark shape: the member NAMELIST is read once on the driver (zip
+    central directory only — no payloads), parallelized, and each
+    partition opens the zip LOCALLY and reads only its own members inside
+    an Arrow ``mapInPandas`` — member bytes never pass through the
+    driver.  Requires ``zip_path`` to be executor-visible (shared
+    storage), like any Spark input path.  Returns (member, content).
+    """
+    import zipfile
+
+    with zipfile.ZipFile(zip_path) as zf:
+        names = [n for n in zf.namelist() if not n.endswith("/")]
+    ndf = spark.createDataFrame(
+        [(n,) for n in names], "member string"
+    ).repartition(min(n_partitions, max(len(names), 1)))
+
+    def read_members(batches):
+        import pandas as pd
+        import zipfile as _zf
+
+        with _zf.ZipFile(zip_path) as zf:
+            for pdf in batches:
+                if pdf.empty:  # empty frames break Arrow type inference
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "member": pdf["member"],
+                        "content": [
+                            zf.read(m).decode("utf-8", "replace")
+                            for m in pdf["member"]
+                        ],
+                    }
+                )
+
+    return ndf.mapInPandas(read_members, "member string, content string")
+
+
+def read_ppr_candidates_zip(
+    spark: SparkSession, zip_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """S2 end-to-end from the zip itself: member name ``str(doc_id+1)``
+    (aida.py:180) -> per-line rows -> the shared ENTITY/CANDIDATE parser.
+    Same output contract as :func:`read_ppr_candidates`, no pre-extraction
+    step left to the user."""
+    members = read_zip_members(spark, zip_path)
+    lines = (
+        members.select(
+            F.col("member").alias("file"),
+            (F.regexp_extract("member", r"([0-9]+)[^/]*$", 1).cast("int") - 1).alias(
+                "doc_id"
+            ),
+            F.posexplode(F.split("content", "\n")).alias("line_no", "value"),
+        )
+        .filter(F.length(F.trim("value")) > 0)
+    )
+    return _parse_ppr_lines(lines)
 
 
 def read_vocab(spark: SparkSession, path: str) -> DataFrame:

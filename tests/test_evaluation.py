@@ -1,0 +1,137 @@
+"""EP1 flagship (composed reference evaluation lifecycle) + J6 full
+re-segmentation alignment, with hand cases mirroring the reference's
+split/merge/spacing branches (src/spel/utils.py:425-521)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spel_spark.operators.evaluation import AIDA_TESTC, ep1_evaluate
+from spel_spark.operators.spans import span_align_resegment, span_eval_from_alignment
+
+SPAN_SCHEMA = "doc_id int, begin int, end int, entity int, surface string"
+
+needs_ttl = pytest.mark.skipif(
+    not os.path.exists(AIDA_TESTC), reason="reference aida_testc.ttl absent"
+)
+
+
+def _segs(spark, gold_rows, pred_rows):
+    g = spark.createDataFrame(gold_rows, SPAN_SCHEMA)
+    p = spark.createDataFrame(pred_rows, SPAN_SCHEMA)
+    return {
+        (r.doc_id, r.seg_begin, r.seg_end): r
+        for r in span_align_resegment(g, p).collect()
+    }
+
+
+def test_align_merge_case(spark):
+    """Pred merges 'Alice Smith' + ' met' into one span: the reference's
+    p-longer branch re-segments p at gold boundaries (utils.py:476-500)."""
+    gold = [(1, 0, 11, 5, "Alice Smith"), (1, 12, 15, 0, "met"), (1, 16, 19, 7, "Bob")]
+    pred = [(1, 0, 15, 5, "Alice Smith met"), (1, 16, 19, 7, "Bob")]
+    s = _segs(spark, gold, pred)
+    assert len(s) == 3
+    assert s[(1, 0, 11)].status == "CORRECTLY_FOUND_BOTH_SPAN_AND_ANNOTATION"
+    assert s[(1, 0, 11)].p_slice == "Alice Smith"  # re-segmented from the merge
+    # the over-covered 'met' region: gold O, pred annotated -> over-generated
+    assert s[(1, 12, 15)].status == "OVER_GENERATED_ANNOTATION"
+    assert s[(1, 16, 19)].status == "CORRECTLY_FOUND_BOTH_SPAN_AND_ANNOTATION"
+
+
+def test_align_split_case(spark):
+    """Pred splits gold 'Alice Smith' into two spans: the g-longer branch
+    (utils.py:448-474) — each pred piece aligns to a gold sub-segment."""
+    gold = [(1, 0, 11, 5, "Alice Smith")]
+    pred = [(1, 0, 5, 5, "Alice"), (1, 6, 11, 5, "Smith")]
+    s = _segs(spark, gold, pred)
+    assert len(s) == 2
+    assert s[(1, 0, 5)].g_slice == "Alice" and s[(1, 0, 5)].span_match
+    assert s[(1, 6, 11)].g_slice == "Smith" and s[(1, 6, 11)].span_match
+    assert all(
+        v.status == "CORRECTLY_FOUND_BOTH_SPAN_AND_ANNOTATION" for v in s.values()
+    )
+
+
+def test_align_space_insensitive_surface(spark):
+    """utils.py:436-438: surfaces equal after removing spaces count as the
+    same span (possessive detokenization: \"kamora 's\" vs \"kamora's\")."""
+    gold = [(1, 0, 8, 3, "kamora's")]
+    pred = [(1, 0, 8, 3, "kamora 's")]
+    s = _segs(spark, gold, pred)
+    assert s[(1, 0, 8)].span_match
+    assert s[(1, 0, 8)].status == "CORRECTLY_FOUND_BOTH_SPAN_AND_ANNOTATION"
+    # a genuinely different surface stays unaligned
+    s2 = _segs(spark, gold, [(1, 0, 8, 3, "other txt")])
+    assert s2[(1, 0, 8)].status == "UNALIGNED"
+
+
+def test_align_statuses_and_metrics(spark):
+    """All four ComparisonResult statuses + the MD/EL counter math
+    (evaluate_local.py:98-109)."""
+    gold = [
+        (1, 0, 3, 1, "abc"),   # correct both
+        (1, 4, 7, 2, "def"),   # span right, annotation wrong
+        (1, 8, 11, 0, "ghi"),  # gold O, pred O -> correctly ignored
+        (1, 12, 15, 0, "jkl"), # gold O, pred annotated -> over-generated
+        (1, 16, 19, 4, "mno"), # gold annotated, pred O -> MD fn
+    ]
+    pred = [
+        (1, 0, 3, 1, "abc"),
+        (1, 4, 7, 9, "def"),
+        (1, 8, 11, 0, "ghi"),
+        (1, 12, 15, 9, "jkl"),
+        (1, 16, 19, 0, "mno"),
+    ]
+    s = _segs(spark, gold, pred)
+    assert s[(1, 0, 3)].status == "CORRECTLY_FOUND_BOTH_SPAN_AND_ANNOTATION"
+    assert s[(1, 4, 7)].status == "CORRECTLY_FOUND_SPAN_BUT_NOT_ANNOTATION"
+    assert s[(1, 8, 11)].status == "CORRECTLY_IGNORED_O"
+    assert s[(1, 12, 15)].status == "OVER_GENERATED_ANNOTATION"
+    g = spark.createDataFrame(gold, SPAN_SCHEMA)
+    p = spark.createDataFrame(pred, SPAN_SCHEMA)
+    m = span_eval_from_alignment(span_align_resegment(g, p)).collect()[0]
+    # MD: tp = {abc, def}, fp = {jkl}, fn = {mno}
+    assert (m.md_tp, m.md_fp, m.md_fn) == (2, 1, 1)
+    # EL: p_el = {abc, def->9, jkl->9}; g_el = {abc, def->2, mno}; tp = {abc}
+    assert (m.el_tp, m.el_fp, m.el_fn) == (1, 2, 2)
+    assert m.md_precision == pytest.approx(2 / 3)
+    assert m.md_recall == pytest.approx(2 / 3)
+
+
+@needs_ttl
+def test_ep1_gold_vs_gold_is_perfect(spark):
+    """The composed lifecycle over the REAL aida_testc.ttl: feeding the
+    gold labels through tokenize -> synth subwords -> resolve -> phrases
+    -> align must reproduce the gold exactly (F1 = 1.0 on both MD and
+    EL) — pipeline parity for the reference's #1 entry point."""
+    r = ep1_evaluate(spark).collect()[0]
+    assert r.n_docs == 131
+    assert r.n_gold_phrases > 3000
+    assert r.n_pred_phrases == r.n_gold_phrases
+    assert r.md_f1 == pytest.approx(1.0)
+    assert r.el_f1 == pytest.approx(1.0)
+    assert r.md_fp == 0 and r.md_fn == 0
+
+
+@needs_ttl
+def test_ep1_corruption_degrades_deterministically(spark):
+    """A seeded 1-in-20 label corruption must degrade F1 below 1.0 by an
+    exactly reproducible amount (the sensitivity half of the EP1 gate)."""
+    r1 = ep1_evaluate(spark, corrupt_every=20).collect()[0]
+    r2 = ep1_evaluate(spark, corrupt_every=20).collect()[0]
+    assert r1.el_f1 < 1.0
+    assert 0.5 < r1.el_f1 < 0.999
+    assert (r1.md_tp, r1.md_fp, r1.md_fn, r1.el_f1) == (
+        r2.md_tp, r2.md_fp, r2.md_fn, r2.el_f1
+    )
+
+
+def test_ep1_synthetic_fallback_runs_anywhere(spark):
+    """Without the reference checkout the built-in corpus drives the same
+    DAG to the same invariant (F1 = 1.0)."""
+    r = ep1_evaluate(spark, ttl_path="/nonexistent/gold.ttl").collect()[0]
+    assert r.n_docs == 3
+    assert r.md_f1 == pytest.approx(1.0)
+    assert r.el_f1 == pytest.approx(1.0)

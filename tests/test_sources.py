@@ -72,6 +72,39 @@ def test_read_ppr_candidates(spark, tmp_path):
     assert cs == [(0, "123", 10), (0, "456", 2), (1, "789", 99)]
 
 
+def test_read_ppr_candidates_zip_matches_extracted(spark, tmp_path):
+    """S2 from the zip itself (ref aida.py:174-187): the distributed
+    zip-member read must yield exactly what the pre-extracted-files path
+    yields — no user-side extraction step."""
+    import zipfile
+
+    from spel_spark.sources.resources import read_ppr_candidates_zip, read_zip_members
+
+    d = tmp_path / "ppr"
+    d.mkdir()
+    (d / "2").write_text(PPR_DOC_1)
+    ppr_doc_2 = PPR_DOC_1.replace("docId:1", "docId:6").replace("Q123", "Q999")
+    (d / "7").write_text(ppr_doc_2)
+    zp = tmp_path / "PPRforNED.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.write(d / "2", "2")
+        zf.write(d / "7", "7")
+
+    members = {r.member: r.content for r in read_zip_members(spark, str(zp)).collect()}
+    assert set(members) == {"2", "7"}
+    assert members["2"] == PPR_DOC_1
+
+    recs_z, cands_z = read_ppr_candidates_zip(spark, str(zp))
+    recs_f, cands_f = read_ppr_candidates(spark, str(d))
+    assert sorted(map(tuple, recs_z.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, recs_f.collect()), key=lambda t: t[:2]
+    )
+    assert sorted(map(tuple, cands_z.collect())) == sorted(
+        map(tuple, cands_f.collect())
+    )
+    assert {r.doc_id for r in recs_z.collect()} == {1, 6}
+
+
 def test_mention_candidate_rank_join(spark):
     tokens = spark.createDataFrame(
         [(1, 0, "B", "EU"), (1, 3, "B", "EU"), (1, 5, "B", "Bonn")],
