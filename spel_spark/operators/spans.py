@@ -45,13 +45,22 @@ def bioes_tags(tokens: DataFrame) -> DataFrame:
     return tokens.withColumn("bioes", label).withColumn("bioes_code", code)
 
 
-def phrases_from_annotations(word_annotations: DataFrame) -> DataFrame:
+def phrases_from_annotations(
+    word_annotations: DataFrame, detokenize: bool = False
+) -> DataFrame:
     """A4/W3: consecutive-run grouping — adjacent words with the same
     resolved annotation merge into one phrase (the PhraseAnnotation
     analogue; reference src/spel/utils.py:389-396).
 
     input: (doc_id, word_idx, resolved_annotation, begin_char, end_char,
     word, confidence); output one row per phrase.
+
+    ``detokenize=True`` renders the phrase through the Moses-EN core
+    rules (functions/detokenize.py) instead of space-joining — the
+    reference's PhraseAnnotation.word_string (span_annotation.py:44-46).
+    The default stays ``concat_ws(' ')``: X9's byte-identical turn-text
+    round-trip depends on it, and evaluation-side comparison is
+    space-insensitive anyway.
     """
     w = Window.partitionBy("doc_id").orderBy("word_idx")
     chg = F.when(
@@ -62,13 +71,25 @@ def phrases_from_annotations(word_annotations: DataFrame) -> DataFrame:
     runs = word_annotations.withColumn("chg", chg).withColumn(
         "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+    if detokenize:
+        from spel_spark.functions.detokenize import moses_detokenize_col
+
+        # order pinned explicitly (collect_list order is only incidentally
+        # sorted); sort by word_idx, then detokenize the word array
+        ordered = F.transform(
+            F.array_sort(F.collect_list(F.struct("word_idx", "word"))),
+            lambda s: s["word"],
+        )
+        phrase = moses_detokenize_col(ordered)
+    else:
+        # X9: turn-text reconstruction must round-trip byte-identically
+        phrase = F.concat_ws(" ", F.collect_list("word"))
     return (
         runs.groupBy("doc_id", "run_id", "resolved_annotation")
         .agg(
             F.min("begin_char").alias("begin_char"),
             F.max("end_char").alias("end_char"),
-            # X9: turn-text reconstruction must round-trip byte-identically
-            F.concat_ws(" ", F.collect_list("word")).alias("phrase"),
+            phrase.alias("phrase"),
             F.avg("confidence").alias("confidence"),  # A11 mean-of-words
             F.count(F.lit(1)).alias("n_words"),
         )
