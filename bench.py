@@ -574,8 +574,12 @@ def run_cc_scale() -> None:
     spark = get_spark(app_name="spel_cc_scale", master="local[8]",
                       shuffle_partitions=16)
     nodes = spark.range(n_nodes).select(F.col("id"))
+    # exclude chain tails AND the final node: id n_nodes-1 must not emit an
+    # edge to the out-of-range node n_nodes when n_nodes % chain != 0
     edges = (
-        nodes.filter(F.col("id") % chain != chain - 1)
+        nodes.filter(
+            (F.col("id") % chain != chain - 1) & (F.col("id") < n_nodes - 1)
+        )
         .select(F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id"))
         .repartition(16)
         .persist()

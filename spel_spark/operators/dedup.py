@@ -62,8 +62,12 @@ def simhash_candidate_pairs(
     from spel_spark.operators.blocking import salted_id_pairs
 
     # consumed three times (band explode + both verify sides): persist so
-    # the 64-way conditional-sum aggregation behind `sims` runs once
-    sims = sims.persist()
+    # the 64-way conditional-sum aggregation behind `sims` runs once.
+    # A derived projection is persisted — NOT the caller's DataFrame —
+    # so the argument is never cached as a side effect; callers running
+    # repeatedly should clearCache between runs (same contract as
+    # minhash_near_dup_pairs below).
+    sims = sims.select(F.col(id_col), F.col("simhash")).persist()
     bands = sims.select(
         F.col(id_col),
         F.explode(

@@ -184,8 +184,11 @@ def ep1_evaluate(
         )
         return _phrase_stream(ann)
 
-    gold_stream = stream(None)
-    pred_stream = stream(corrupt_every)
+    # each stream is consumed twice (alignment + phrase counts): persist,
+    # and reuse gold outright when there is no corruption (the gold-vs-gold
+    # case would otherwise run an identical resolve pipeline twice)
+    gold_stream = stream(None).persist()
+    pred_stream = gold_stream if corrupt_every is None else stream(corrupt_every).persist()
     segments = span_align_resegment(gold_stream, pred_stream)
     metrics = span_eval_from_alignment(segments)
     counts = (

@@ -615,9 +615,10 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     aggregate dot product, no UDF.
 
     The corpus is augmented with PLANTED duplicates (copies of vec_id < 5
-    at vec_id + 1,000,000) so the checked result is non-empty at every SF:
-    the synthetic embeddings' natural in-label cosine tops out ~0.47, so a
-    high threshold alone would green-light a vacuous empty-vs-empty parity
+    at -1 - vec_id — negative ids can never collide with natural ids at
+    any SF) so the checked result is non-empty everywhere: the synthetic
+    embeddings' natural in-label cosine tops out ~0.47, so a high
+    threshold alone would green-light a vacuous empty-vs-empty parity
     check.  Threshold 0.4 admits both the planted exact dups (cos = 1.0)
     and the densest natural near-dups — the kernel is exercised on both.
     """
@@ -626,7 +627,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
     e = base.unionByName(
         base.filter(F.col("vec_id") < 5).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"), "label", "v"
+            (-1 - F.col("vec_id")).alias("vec_id"), "label", "v"
         )
     )
     a = e.select(F.col("vec_id").alias("a_vec"), "label", F.col("v").alias("va"))
@@ -644,7 +645,7 @@ WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 e AS (
   SELECT * FROM base
   UNION ALL
-  SELECT vec_id + 1000000, label, v FROM base WHERE vec_id < 5),
+  SELECT -1 - vec_id, label, v FROM base WHERE vec_id < 5),
 p AS (
   SELECT a.vec_id AS a_vec, b.vec_id AS b_vec, a.label,
          CAST(round(list_cosine_similarity(a.v, b.v), 6) AS DOUBLE) AS cos

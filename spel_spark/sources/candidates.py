@@ -24,7 +24,7 @@ so the file order must be recoverable: sort by rank within a key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 LAYOUTS = ("context_agnostic", "context_aware_mentions", "context_aware_spans")
@@ -83,20 +83,43 @@ def read_candidate_json(spark: SparkSession, path: str, layout: str) -> DataFram
 
 
 _KEY_COLS = ["context_key", "mention", "begin_char", "end_char", "entity"]
+_LIST_KEY = ["context_key", "mention", "begin_char", "end_char"]  # one candidate LIST
+
+
+def _with_list_key(df: DataFrame) -> DataFrame:
+    # NULL-safe grouping/join key for the candidate list identity: plain
+    # join keys never match NULL = NULL, and the context_agnostic layout
+    # has NULL context/begin/end by design
+    return df.withColumn(
+        "_lk",
+        F.concat_ws(
+            "\x01",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x02")) for c in _LIST_KEY],
+        ),
+    )
 
 
 def union_candidates(a: DataFrame, b: DataFrame) -> DataFrame:
-    """J9 union-merge of two candidate tables (testa ∪ testb): append
-    unseen (key, entity) pairs, FIRST-SEEN wins for duplicates — an
-    (entity, rank) present in ``a`` keeps a's rank even if ``b`` lists it
-    at a different position (candidate_manager.py:42-51 appends only
-    entities not already in the list).  groupBy treats NULL key parts as
-    equal, matching the reference's dict-keyed merge."""
-    tagged = a.withColumn("_src", F.lit(0)).unionByName(
-        b.withColumn("_src", F.lit(1))
+    """J9 union-merge of two candidate tables (testa ∪ testb): the merged
+    list is a's list followed by b's UNSEEN entities in b's order
+    (candidate_manager.py:42-51 appends only entities not already
+    present).  Ranks reproduce that concatenation: a-entities keep a's
+    rank; b-only entities are re-ranked after a's list end, so sorting
+    the merged rows by rank reconstructs the reference's merged list
+    exactly (no rank collisions)."""
+    a = _with_list_key(a.groupBy(*_KEY_COLS).agg(F.min("rank").alias("rank")))
+    b = _with_list_key(b.groupBy(*_KEY_COLS).agg(F.min("rank").alias("rank")))
+    a_len = a.groupBy("_lk").agg((F.max("rank") + 1).alias("_a_len"))
+    b_only = b.join(a.select("_lk", "entity"), ["_lk", "entity"], "left_anti")
+    w = Window.partitionBy("_lk").orderBy("rank")
+    b_ranked = (
+        b_only.withColumn("_pos", F.row_number().over(w) - 1)
+        .join(a_len, "_lk", "left")
+        .select(
+            *_KEY_COLS,
+            (F.coalesce(F.col("_a_len"), F.lit(0)) + F.col("_pos"))
+            .cast("int")
+            .alias("rank"),
+        )
     )
-    return (
-        tagged.groupBy(*_KEY_COLS)
-        .agg(F.min(F.struct("_src", "rank")).alias("_first"))
-        .select(*_KEY_COLS, F.col("_first.rank").alias("rank"))
-    )
+    return a.select(*_KEY_COLS, "rank").unionByName(b_ranked)

@@ -58,9 +58,12 @@ def parse_nif_gold(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
     a few MB); a multi-GB turtle corpus would need a per-block
     (blank-line-delimited) source instead — out of scope for gold files.
     """
+    # \r?\n: the old line-based reader (Hadoop LineRecordReader) stripped
+    # CRLF; the wholetext split must too, or end-anchored regexes below
+    # silently match nothing on Windows-saved turtle files
     raw = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("file"),
-        F.posexplode(F.split("value", "\n")).alias("mono", "value"),
+        F.posexplode(F.split("value", "\r?\n")).alias("mono", "value"),
     )
     w = Window.partitionBy("file").orderBy("mono")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)

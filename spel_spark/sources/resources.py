@@ -150,11 +150,17 @@ def read_ppr_candidates_zip(
     (aida.py:180) -> per-line rows -> the shared ENTITY/CANDIDATE parser.
     Same output contract as :func:`read_ppr_candidates`, no pre-extraction
     step left to the user."""
-    members = read_zip_members(spark, zip_path)
+    # only members whose basename is purely numeric are candidate docs —
+    # the reference opens members named str(doc_id+1) and nothing else
+    # (aida.py:180); metadata members (__MACOSX/._1, README) would parse
+    # as phantom records or collide on the digits-suffix regex
+    members = read_zip_members(spark, zip_path).filter(
+        F.col("member").rlike(r"(^|/)[0-9]+$")
+    )
     lines = (
         members.select(
             F.col("member").alias("file"),
-            (F.regexp_extract("member", r"([0-9]+)[^/]*$", 1).cast("int") - 1).alias(
+            (F.regexp_extract("member", r"([0-9]+)$", 1).cast("int") - 1).alias(
                 "doc_id"
             ),
             F.posexplode(F.split("content", "\n")).alias("line_no", "value"),

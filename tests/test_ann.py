@@ -86,6 +86,9 @@ def test_lsh_band_join_carries_ids_only(spark, vecs):
     assert agg_keys, plan  # the candidate dedup must exist
     for keys in agg_keys:
         assert "v#" not in keys, keys
+
+
+def test_ivf_assign_covers_all_cells_used(spark, vecs):
     from spel_spark.operators.ann import ivf_assign, ivf_centroids
 
     cents = ivf_centroids(vecs, nlist=8, seed=42)

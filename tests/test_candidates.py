@@ -110,9 +110,12 @@ def test_candidate_rank_recovers_file_order(spark):
         assert [r.rank for r in rows] == list(range(len(rows)))
 
 
-def test_union_first_seen_rank_wins(spark):
-    """J9 merge: an entity in both tables keeps table-a's rank (first-seen,
-    candidate_manager.py:42-51); b-only entities keep b's rank."""
+def test_union_merge_reconstructs_reference_list_order(spark):
+    """J9 merge: the merged ranks must reconstruct the reference's
+    append-merge EXACTLY (candidate_manager.py:42-51) — a's list first
+    (keeping a's ranks), then b's unseen entities re-ranked after a's
+    end, in b's order.  Sorting by rank = the reference's merged list;
+    no rank collisions."""
     schema = (
         "context_key string, mention string, begin_char int, end_char int, "
         "entity string, rank int"
@@ -121,10 +124,21 @@ def test_union_first_seen_rank_wins(spark):
         [(None, "m", None, None, "E1", 0), (None, "m", None, None, "E2", 1)], schema
     )
     b = spark.createDataFrame(
-        [(None, "m", None, None, "E2", 0), (None, "m", None, None, "E3", 1)], schema
+        [
+            (None, "m", None, None, "E3", 0),   # unseen -> appended after a
+            (None, "m", None, None, "E2", 1),   # seen -> keeps a's rank 1
+            (None, "m", None, None, "E4", 2),   # unseen -> after E3
+            (None, "other", None, None, "E9", 0),  # b-only list -> starts at 0
+        ],
+        schema,
     )
-    got = {r.entity: r.rank for r in union_candidates(a, b).collect()}
-    assert got == {"E1": 0, "E2": 1, "E3": 1}
+    rows = union_candidates(a, b).collect()
+    m = sorted(
+        ((r.rank, r.entity) for r in rows if r.mention == "m")
+    )
+    assert m == [(0, "E1"), (1, "E2"), (2, "E3"), (3, "E4")]
+    other = [(r.rank, r.entity) for r in rows if r.mention == "other"]
+    assert other == [(0, "E9")]
 
 
 def test_bad_layout_raises(spark):

@@ -89,9 +89,13 @@ def test_read_ppr_candidates_zip_matches_extracted(spark, tmp_path):
     with zipfile.ZipFile(zp, "w") as zf:
         zf.write(d / "2", "2")
         zf.write(d / "7", "7")
+        # real-world zip noise: resource forks / docs must not become
+        # phantom candidate records (reference only opens numeric members)
+        zf.writestr("__MACOSX/._2", "\x00junk")
+        zf.writestr("README", "not a doc")
 
     members = {r.member: r.content for r in read_zip_members(spark, str(zp)).collect()}
-    assert set(members) == {"2", "7"}
+    assert set(members) == {"2", "7", "__MACOSX/._2", "README"}
     assert members["2"] == PPR_DOC_1
 
     recs_z, cands_z = read_ppr_candidates_zip(spark, str(zp))
