@@ -112,6 +112,8 @@ def salted_id_pairs(
     key_col: str = "block_key",
     max_cell: int = 1024,
     max_salts: int = 64,
+    carry: tuple = (),
+    pair_filter=None,
 ) -> DataFrame:
     """Payload-free triangle-salted self-join: all unordered id pairs
     sharing a key, deduplicated across keys.  Output (a_id, b_id).
@@ -121,7 +123,14 @@ def salted_id_pairs(
     wide to replicate through the salt cells).  A block of n members with
     S salts becomes S*(S+1)/2 bounded cells joined independently — no
     single task ever sees a whole hot bucket (degenerate LSH buckets are
-    the doc-dedup analogue of hot mention surfaces)."""
+    the doc-dedup analogue of hot mention surfaces).
+
+    ``carry`` names narrow scalar columns of ``blocks`` (e.g. a token
+    count) replicated through the cells as ``a_<c>``/``b_<c>`` so that
+    ``pair_filter`` — a SYMMETRIC boolean Column over them — can prune
+    pairs BEFORE the dedup shuffle (the widest shuffle of the flow).
+    Symmetry is required because the filter runs before the (a, b)
+    canonicalization."""
     counts = blocks.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_members"))
     sized = (
         blocks.join(counts, key_col)
@@ -140,18 +149,22 @@ def salted_id_pairs(
     a_side = sized.select(
         F.col(key_col).alias("_k"),
         F.col(id_col).alias("a_id"),
+        *[F.col(c).alias(f"a_{c}") for c in carry],
         F.col("salt").alias("i"),
         F.explode(F.sequence(F.col("salt"), F.col("n_salts") - 1)).alias("j"),
     )
     b_side = sized.select(
         F.col(key_col).alias("_k"),
         F.col(id_col).alias("b_id"),
+        *[F.col(c).alias(f"b_{c}") for c in carry],
         F.explode(F.sequence(F.lit(0), F.col("salt"))).alias("i"),
         F.col("salt").alias("j"),
     )
     joined = a_side.join(b_side, ["_k", "i", "j"]).filter(
         F.col("a_id") != F.col("b_id")
     )
+    if pair_filter is not None:
+        joined = joined.filter(pair_filter)
     return joined.select(
         F.least("a_id", "b_id").alias("a_id"),
         F.greatest("a_id", "b_id").alias("b_id"),
