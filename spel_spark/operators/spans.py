@@ -331,6 +331,53 @@ def candidate_filter(
     )
 
 
+def candidate_rerank(
+    predictions: DataFrame,
+    candidate_sets: DataFrame,
+    null_entity: int = 0,
+) -> DataFrame:
+    """J8 FULL semantics: re-resolve to the best allowed alternative.
+
+    ``candidate_filter`` above nulls disallowed predictions; the
+    reference is richer (src/spel/candidate_manager.py:76-103):
+
+    * an already-null prediction passes through (:83-84);
+    * a mention with NO candidate list (or an empty one) resolves to the
+      null entity (:86-88);
+    * otherwise the prediction's own rank-ordered alternative list is
+      filtered to the allow-set and the BEST surviving alternative wins
+      (:99-103, ``sorted(..., reverse=True)[0]``); none surviving -> null.
+
+    predictions: (..., block_key, entity_id,
+    alternatives ARRAY<STRUCT<entity_id INT, p DOUBLE>>) with
+    ``alternatives`` rank-ordered best-first (the reference's
+    all_possible_annotations contract, span_annotation.py:26-30; stable
+    ties keep list order, exactly like Python's stable sort).
+
+    Zero-shuffle: the allow-lists aggregate to one array per block key
+    and broadcast; selection is an array filter — no explode, no
+    per-row Python.
+    """
+    allow_sets = candidate_sets.groupBy("block_key").agg(
+        F.array_distinct(F.collect_list("entity_id")).alias("_allow")
+    )
+    surviving = F.filter(
+        F.col("alternatives"),
+        lambda a: F.array_contains(F.col("_allow"), a["entity_id"]),
+    )
+    new_entity = (
+        F.when(F.col("entity_id") == null_entity, F.col("entity_id"))
+        .when(F.col("_allow").isNull() | (F.size("_allow") == 0), F.lit(null_entity))
+        .when(F.size(surviving) > 0, surviving.getItem(0)["entity_id"])
+        .otherwise(F.lit(null_entity))
+    )
+    return (
+        predictions.join(F.broadcast(allow_sets), "block_key", "left")
+        .withColumn("entity_id", new_entity)
+        .drop("_allow")
+    )
+
+
 def softmax_over_window(df: DataFrame, value_col: str, part_cols: list[str]) -> DataFrame:
     """X7: numerically-stable softmax of a column within a partition —
     exp(x - max) / sum(exp(x - max)) via window aggregates (the reference

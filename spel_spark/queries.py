@@ -997,6 +997,61 @@ FROM preds p LEFT JOIN allow a
 """
 
 
+def q_candidate_rerank(spark, sf_dir):
+    """J8 full semantics: a disallowed prediction falls back to its best
+    allowed ALTERNATIVE, not straight to null (ref candidate_manager.py:
+    99-103); no/empty candidate list -> null (:86-88).  Alternatives are
+    synthesized rank-ordered from part."""
+    from spel_spark.operators.spans import candidate_rerank
+
+    p = q_norm_surface(spark, sf_dir)
+    alt = lambda e: F.struct(  # noqa: E731
+        e.cast("int").alias("entity_id"), F.lit(0.0).alias("p")
+    )
+    preds = p.select(
+        "p_partkey",
+        F.concat(F.lit("f:"), F.split("norm_surface", " ").getItem(0)).alias("block_key"),
+        (F.col("p_partkey") % 50).cast("long").alias("entity_id"),
+        F.array(
+            alt(F.col("p_partkey") % 50),
+            alt((F.col("p_partkey") % 7) * 3),
+            alt((F.col("p_partkey") % 11) * 5),
+        ).cast("array<struct<entity_id:int,p:double>>").alias("alternatives"),
+    )
+    allow = (
+        preds.filter(F.col("p_partkey") % 3 == 0)
+        .select("block_key", "entity_id")
+        .distinct()
+    )
+    return candidate_rerank(preds, allow).select(
+        "p_partkey", "block_key", F.col("entity_id").cast("long").alias("entity_id")
+    )
+
+
+SQL_CANDIDATE_RERANK = f"""
+WITH preds AS (
+  SELECT p_partkey,
+         'f:' || string_split({norm_surface_sql('p_name')}, ' ')[1] AS block_key,
+         CAST(p_partkey % 50 AS BIGINT) AS entity_id,
+         [CAST(p_partkey % 50 AS BIGINT),
+          CAST((p_partkey % 7) * 3 AS BIGINT),
+          CAST((p_partkey % 11) * 5 AS BIGINT)] AS alts
+  FROM part),
+allow AS (
+  SELECT block_key, list(DISTINCT entity_id) AS allow_list
+  FROM preds WHERE p_partkey % 3 = 0 GROUP BY block_key),
+joined AS (
+  SELECT p.p_partkey, p.block_key, p.entity_id, p.alts, a.allow_list
+  FROM preds p LEFT JOIN allow a ON p.block_key = a.block_key)
+SELECT p_partkey, block_key,
+  CASE WHEN entity_id = 0 THEN 0
+       WHEN allow_list IS NULL OR len(allow_list) = 0 THEN 0
+       ELSE coalesce(list_filter(alts, x -> list_contains(allow_list, x))[1], 0)
+  END AS entity_id
+FROM joined
+"""
+
+
 def q_token_counts(spark, sf_dir):
     """Token counting for training-data budgeting: whitespace tokens, a
     BPE-ish regex token count (alnum runs + one token per other non-space
@@ -1267,5 +1322,6 @@ CATALOG: dict[str, tuple] = {
     "softmax_window": (q_softmax_window, SQL_SOFTMAX),
     "word_resolution": (q_word_resolution, SQL_WORD_RESOLUTION),
     "candidate_filter": (q_candidate_filter, SQL_CANDIDATE_FILTER),
+    "candidate_rerank": (q_candidate_rerank, SQL_CANDIDATE_RERANK),
     "subword_eval": (q_subword_eval, SQL_SUBWORD_EVAL),
 }

@@ -101,3 +101,28 @@ def test_softmax(spark):
     assert got[(1, 3.0)] == pytest.approx(1.0 / z)
     assert got[(2, 5.0)] == pytest.approx(1.0)
     assert sum(v for (g, _), v in got.items() if g == 1) == pytest.approx(1.0)
+
+
+def test_candidate_rerank_hand_cases(spark):
+    """J8 full semantics (ref candidate_manager.py:76-103): fall back to
+    the best allowed ALTERNATIVE; no/empty list -> null; null passes."""
+    from spel_spark.operators.spans import candidate_rerank
+
+    alts_t = "array<struct<entity_id:int,p:double>>"
+    rows = [
+        # (row, block_key, entity_id, alternatives best-first)
+        (1, "k1", 5, [(5, 0.9), (7, 0.5)]),    # allowed -> stays 5
+        (2, "k1", 9, [(9, 0.9), (5, 0.5), (7, 0.3)]),  # 9 disallowed -> 5
+        (3, "k1", 9, [(9, 0.9), (8, 0.5)]),    # nothing allowed -> 0
+        (4, "k2", 3, [(3, 0.9)]),              # no allow list at all -> 0
+        (5, "k1", 0, [(6, 0.9)]),              # already null -> passes
+    ]
+    preds = spark.createDataFrame(
+        [(r, k, e, a) for r, k, e, a in rows],
+        f"row int, block_key string, entity_id int, alternatives {alts_t}",
+    )
+    allow = spark.createDataFrame(
+        [("k1", 5), ("k1", 7)], "block_key string, entity_id int"
+    )
+    got = {r.row: r.entity_id for r in candidate_rerank(preds, allow).collect()}
+    assert got == {1: 5, 2: 5, 3: 0, 4: 0, 5: 0}
