@@ -135,3 +135,43 @@ def test_ep1_synthetic_fallback_runs_anywhere(spark):
     assert r.n_docs == 3
     assert r.md_f1 == pytest.approx(1.0)
     assert r.el_f1 == pytest.approx(1.0)
+
+
+def test_align_properties_random_partitions(spark):
+    """Property: for ANY two span streams that partition the same doc into
+    contiguous intervals, the aligned segments (1) partition the doc
+    exactly (no gaps, no overlaps), (2) all carry span_match (same text
+    both sides), and (3) identical streams yield perfect metrics."""
+    import random
+
+    rng = random.Random(99)
+
+    def rand_partition(doc_id, text):
+        # random contiguous split into spans with random entities
+        cuts = sorted(rng.sample(range(1, len(text)), rng.randint(1, 6)))
+        bounds = [0] + cuts + [len(text)]
+        return [
+            (doc_id, b, e, rng.choice([0, 0, 1, 2, 3]), text[b:e])
+            for b, e in zip(bounds, bounds[1:])
+        ]
+
+    docs = {d: "x" * rng.randint(8, 40) for d in range(1, 21)}
+    gold_rows, pred_rows = [], []
+    for d, text in docs.items():
+        gold_rows += rand_partition(d, text)
+        pred_rows += rand_partition(d, text)
+    g = spark.createDataFrame(gold_rows, SPAN_SCHEMA)
+    p = spark.createDataFrame(pred_rows, SPAN_SCHEMA)
+    segs = span_align_resegment(g, p).collect()
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append((r.seg_begin, r.seg_end))
+        assert r.span_match, r  # same doc text both sides -> always matches
+    for d, ivs in by_doc.items():
+        ivs.sort()
+        assert ivs[0][0] == 0 and ivs[-1][1] == len(docs[d])
+        for (b1, e1), (b2, e2) in zip(ivs, ivs[1:]):
+            assert e1 == b2, (d, ivs)  # contiguous: no gap, no overlap
+    # identity: aligning a stream against itself is perfect
+    m = span_eval_from_alignment(span_align_resegment(g, g)).collect()[0]
+    assert m.md_fp == m.md_fn == 0 and m.el_f1 == pytest.approx(1.0)

@@ -121,3 +121,40 @@ def test_windowed_stream_counts_plan_is_jvm_only(spark):
     )
     df = windowed_mention_counts(batch)
     assert "EvalPython" not in physical_plan(df)
+
+
+def test_ep1_evaluation_plan_is_jvm_only(spark):
+    """EP1 composed lifecycle: every stage is builtins/windows — zero
+    Python anywhere in the fallback-corpus plan."""
+    from spel_spark.operators.evaluation import ep1_evaluate
+
+    df = ep1_evaluate(spark, ttl_path="/nonexistent/gold.ttl")
+    assert "EvalPython" not in physical_plan(df)
+
+
+def test_detokenizer_is_jvm_only_zero_shuffle(spark):
+    """Moses-EN detokenizer: one aggregate expression — no Python, no
+    Exchange."""
+    from spel_spark.functions.detokenize import moses_detokenize_col
+
+    df = spark.createDataFrame([(["a", ",", "b"],)], "words array<string>")
+    plan = physical_plan(df.select(moses_detokenize_col(F.col("words"))))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_candidate_rerank_broadcasts_zero_shuffle_on_preds(spark):
+    """J8 rerank: allow-sets broadcast; the prediction side is never
+    exchanged."""
+    from spel_spark.operators.spans import candidate_rerank
+    from spel_spark.plans import scan_summary
+
+    preds = spark.createDataFrame(
+        [(1, "k", 5, [(5, 0.9)])],
+        "row int, block_key string, entity_id int, "
+        "alternatives array<struct<entity_id:int,p:double>>",
+    )
+    allow = spark.createDataFrame([("k", 5)], "block_key string, entity_id int")
+    out = candidate_rerank(preds, allow)
+    assert scan_summary(out)["has_broadcast"]
+    assert "EvalPython" not in physical_plan(out)
