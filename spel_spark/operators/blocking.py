@@ -270,11 +270,22 @@ def anchor_pairs(
     )
     big = sized.filter(F.col("n_members") > full_block_limit)
 
-    w = Window.partitionBy("block_key").orderBy(
-        F.col("n_mentions").desc(), F.col("surface_id")
-    )
+    # Two-phase anchor election: a mega-block (10^7 typo variants of one
+    # hot tool name) must not concentrate its whole rank sort in ONE
+    # window task.  Phase 1 ranks within (block, salt) cells — bounded;
+    # phase 2 ranks the <= 64*n_anchors survivors per block — tiny.
+    # Top-k composes across phases (any global top-k row is top-k in its
+    # cell), so the result is IDENTICAL to the single-window election.
+    order = (F.col("n_mentions").desc(), F.col("surface_id"))
+    w1 = Window.partitionBy("block_key", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("block_key").orderBy(*order)
     anchors = (
-        big.withColumn("rk", F.row_number().over(w))
+        big.withColumn(
+            "_salt", F.pmod(F.xxhash64("surface_id", F.lit(13)), F.lit(64)).cast("int")
+        )
+        .withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= n_anchors)
+        .withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= n_anchors)
         .select(
             F.col("surface_id").alias("anchor_id"),

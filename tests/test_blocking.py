@@ -108,3 +108,39 @@ def test_salted_id_pairs_equals_naive(spark):
         for a, b in itertools.combinations(sorted(members), 2):
             want.add((a, b))
     assert got == want
+
+
+def test_two_phase_anchor_election_matches_single_window(spark):
+    from spel_spark.operators.blocking import anchor_pairs
+
+    """The salted two-phase anchor election must pick EXACTLY the anchors
+    a single per-block window would (top-k composes across phases)."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(5)
+    rows = []
+    for blk in range(12):
+        for s in range(rng.randint(2, 200)):
+            rows.append((blk * 10000 + s, f"s{blk}_{s}", rng.randint(1, 50), f"b{blk}"))
+    blocks = spark.createDataFrame(
+        rows, "surface_id long, norm_surface string, n_mentions long, block_key string"
+    )
+    pairs = anchor_pairs(blocks, n_anchors=2, full_block_limit=1)
+    # oracle: single-window top-2 anchors per block, then member-anchor pairs
+    w = Window.partitionBy("block_key").orderBy(
+        F.col("n_mentions").desc(), F.col("surface_id")
+    )
+    top = (
+        blocks.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("block_key", F.col("surface_id").alias("anchor_id"))
+    )
+    want = {
+        (min(r.surface_id, r.anchor_id), max(r.surface_id, r.anchor_id))
+        for r in blocks.join(top, "block_key").collect()
+        if r.surface_id != r.anchor_id
+    }
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert got == want
