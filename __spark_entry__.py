@@ -10,7 +10,9 @@ self-join, Jaccard/Levenshtein scoring, threshold edges, micro-F1,
 portable md5 MinHash + LSH bands), and training-data-pipeline ops
 (exact/ngram/embedding dedup, ANN top-k, text stats, language heuristic,
 fingerprinting).  xxhash64-based internals (SimHash, engine LSH, full ER
-pipeline, Jaro-Winkler) have no DuckDB twin and are exported rows-only.
+pipeline, Jaro-Winkler) have no DuckDB twin and are exported rows-only,
+as is ``ep1_flagship`` — the reference's composed batch-evaluation
+lifecycle over the real AIDA testc gold (NIF parse + window cascades).
 """
 
 from __future__ import annotations

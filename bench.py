@@ -10,6 +10,11 @@ identical cached transcript corpus at two parallelism levels (local[8] vs
 local[32] — the sandbox proxy for N vs 4N executors), reports turns/sec at
 both and the scaling efficiency (speedup / 4), and rewrites
 BENCH/BASELINE.md.
+
+``--cc-scale`` mode: exercises the DISTRIBUTED connected-components
+backend above the driver-union-find threshold (6M-edge worst-case chain
+graph), recording rounds + wall + a zero-collect correctness check to
+BENCH/CC_SCALE.json.
 """
 
 from __future__ import annotations
