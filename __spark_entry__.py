@@ -129,19 +129,6 @@ def _q_ep1_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ep1_evaluate(spark)
 
 
-def _q_punct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 splitter over document text (token + exact char offsets)."""
-    from pyspark.sql import functions as F
-
-    from spel_spark.functions.tokenize import punct_tokenize
-
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").alias("conv_id"), F.lit(0).alias("turn_idx"),
-        F.col("text"),
-    )
-    return punct_tokenize(d)
-
-
 _ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": _q_simhash_dedup,
     "minhash_doc_clusters": _q_minhash_doc_clusters,
@@ -150,7 +137,6 @@ _ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pair_scores_engine": _q_pair_scores_engine,
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
     "ann_ivf_topk": _q_ann_ivf_topk,
-    "punct_tokens": _q_punct_tokens,
     "ep1_flagship": _q_ep1_flagship,
 }
 

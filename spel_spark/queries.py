@@ -400,6 +400,74 @@ FROM agg
 """
 
 
+def q_punct_tokens(spark, sf_dir):
+    """F2: punctuation-aware splitter with exact char offsets over document
+    text (ref utils.py:22-59 branch semantics incl. the possessive split).
+    The DuckDB twin re-expresses the whole branch cascade with parallel
+    unnest + window prefix-sums + list_filter — verified against the
+    Python twin on the corpus AND adversarial edge cases (all-punct
+    words, double spaces, possessive+trailing-punct, non-ASCII)."""
+    from spel_spark.functions.tokenize import punct_tokenize
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("conv_id"), F.lit(0).alias("turn_idx"), F.col("text")
+    )
+    return punct_tokenize(d)
+
+
+SQL_PUNCT_TOKENS = r"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+w AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(words) - 1)) AS i,
+         unnest(words) AS word
+  FROM ws
+),
+wo AS (
+  SELECT doc_id, i, word,
+         CAST(coalesce(SUM(len(word) + 1)
+            OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS b
+  FROM w
+),
+parts AS (
+  SELECT doc_id, i, word, b, b + len(word) AS e,
+         regexp_extract(word, '^([!-/:-@\[-`{-~]+)', 1) AS lead
+  FROM wo WHERE len(word) > 0
+),
+shaped AS (
+  SELECT doc_id, i, word, b, e, lead,
+         CASE WHEN len(lead) = len(word) THEN ''
+              ELSE regexp_extract(word[len(lead) + 1:], '([!-/:-@\[-`{-~]+)$', 1)
+         END AS trail
+  FROM parts
+),
+subtoks AS (
+  SELECT doc_id, i, unnest(
+    CASE
+      WHEN lead = '' AND trail = '' AND (word LIKE '%''s' OR word LIKE '%''S')
+        THEN [{'tok': word[1:len(word)-2], 'bb': b, 'ee': e - 2},
+              {'tok': word[len(word)-1:], 'bb': e - 2, 'ee': e}]
+      WHEN lead = '' AND trail = ''
+        THEN [{'tok': word, 'bb': b, 'ee': e}]
+      ELSE list_filter(
+        [{'tok': lead, 'bb': b, 'ee': b + len(lead)},
+         {'tok': word[len(lead)+1:len(word)-len(trail)], 'bb': b + len(lead), 'ee': e - len(trail)},
+         {'tok': CASE WHEN len(trail) > 0 THEN word[len(word)-len(trail)+1:] ELSE '' END,
+          'bb': e - len(trail), 'ee': e}],
+        x -> len(x.tok) > 0)
+    END) AS s
+  FROM shaped
+)
+SELECT doc_id AS conv_id, 0 AS turn_idx,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i, s.bb) - 1 AS INT) AS token_idx,
+       s.tok AS tok, CAST(s.bb AS INT) AS begin_char, CAST(s.ee AS INT) AS end_char
+FROM subtoks
+"""
+
+
 def q_macro_f1(spark, sf_dir):
     """A6 macro P/R/F1: per-block (user) F1 rows averaged UNWEIGHTED into
     the reference's final macro row (src/spel/decao_eval.py:1205-1221) —
@@ -1305,6 +1373,7 @@ CATALOG: dict[str, tuple] = {
     "match_edges": (q_match_edges, SQL_MATCH_EDGES),
     "pairwise_micro_f1": (q_pairwise_micro_f1, SQL_PAIRWISE_MICRO_F1),
     "macro_f1": (q_macro_f1, SQL_MACRO_F1),
+    "punct_tokens": (q_punct_tokens, SQL_PUNCT_TOKENS),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "simhash_signature": (q_simhash_signature, SQL_SIMHASH_SIGNATURE),
     "lsh_band_keys": (q_lsh_band_keys, SQL_LSH_BAND_KEYS),
