@@ -28,7 +28,12 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     combinable, so Zipf-heavy documents cost nothing extra.
     """
     toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        F.col(id_col),
+        F.explode(
+            # runs of spaces would otherwise yield "" tokens that all hash
+            # to one constant and bias every bit-sum the same way
+            F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+        ).alias("tok"),
     ).withColumn("h", F.xxhash64("tok", F.lit(5)))
     sums = toks.groupBy(id_col).agg(
         *[
@@ -110,7 +115,13 @@ def _word_minhash_sig(
     """
     toks = docs.select(
         F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+        F.explode(
+            F.array_distinct(
+                # drop "" tokens from space runs: they hash to a constant
+                # that slightly biases small-document Jaccard estimates
+                F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+            )
+        ).alias("tok"),
     )
     sig = toks.groupBy(id_col).agg(
         *[
@@ -217,7 +228,15 @@ def minhash_near_dup_pairs(
             F.col(id_col),
             F.array_sort(
                 F.array_distinct(
-                    F.transform(F.split(F.col(text_col), " "), lambda x: F.xxhash64(x))
+                    F.transform(
+                        # same empty-token filter as _word_minhash_sig: the
+                        # signature estimate and the exact verify must see
+                        # the same token set
+                        F.filter(
+                            F.split(F.col(text_col), " "), lambda x: F.length(x) > 0
+                        ),
+                        lambda x: F.xxhash64(x),
+                    )
                 )
             ).alias("toks"),
         )

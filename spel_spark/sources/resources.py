@@ -163,7 +163,10 @@ def read_ppr_candidates_zip(
             (F.regexp_extract("member", r"([0-9]+)$", 1).cast("int") - 1).alias(
                 "doc_id"
             ),
-            F.posexplode(F.split("content", "\n")).alias("line_no", "value"),
+            # \r?\n: zip members written on Windows are CRLF and a plain
+            # '\n' split leaves '\r' on every line (F.trim strips spaces
+            # only) — same fix as sources/nif.py's gold parse
+            F.posexplode(F.split("content", "\r?\n")).alias("line_no", "value"),
         )
         .filter(F.length(F.trim("value")) > 0)
     )

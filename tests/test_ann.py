@@ -118,6 +118,75 @@ def test_ivf_topk_recall_vs_brute_force(spark, vecs):
     assert recall >= 0.6, recall
 
 
+def test_ivf_collapsed_cell_salted_and_exact(spark):
+    """Skew gate for the IVF probe join (round-3 verdict #3): every corpus
+    vector lands in ONE cell (near-duplicate-heavy corpus), which used to
+    concentrate the probe equi-join on a single key carrying full vectors.
+    The salted path must (a) still return the exact brute-force top-k —
+    the probed cell holds the whole corpus — and (b) keep vector payloads
+    out of the candidate-dedup aggregate (ids-only through the salt
+    cells)."""
+    import math
+    import re
+
+    from spel_spark.operators.ann import ann_ivf_topk
+    from spel_spark.plans import physical_plan
+
+    rows = [
+        (i, [10.0, math.sin(i * 0.7), math.cos(i * 1.3), (i % 7) / 7.0])
+        for i in range(120)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    # centroid 0 dominates every dot product -> all vectors assign to cell 0
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    df = ann_ivf_topk(corpus, queries, k=3, nprobe=1, centroids=cents)
+    got = {(r.q_id, r.rk): r.nbr_id for r in df.collect()}
+
+    def topk(q, qv, k=3):
+        sims = []
+        for i, v in rows:
+            if i == q:
+                continue
+            dot = sum(a * b for a, b in zip(qv, v))
+            na = math.sqrt(sum(a * a for a in qv))
+            nb = math.sqrt(sum(b * b for b in v))
+            sims.append((-(dot / (na * nb)), i))
+        sims.sort()
+        return [i for _, i in sims[:k]]
+
+    for q, qv in rows[:5]:
+        want = topk(q, qv)
+        assert [got[(q, rk)] for rk in (1, 2, 3)] == want, (q, want)
+    # plan fact: candidate dedup aggregates over id/salt keys, never vectors
+    plan = physical_plan(df)
+    agg_keys = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
+    assert agg_keys, plan
+    for keys in agg_keys:
+        assert "v#" not in keys, keys
+
+
+def test_ann_plan_build_runs_no_job_when_dim_given(spark, vecs):
+    """Round-3 verdict #8: with ``dim`` supplied (and literal centroids),
+    constructing the ANN plans must not trigger any Spark job — the old
+    .first() dimensionality probes ran one small job per call.  Job-group
+    tracking: any job started during plan construction would land in the
+    marker group."""
+    from spel_spark.operators.ann import ann_ivf_topk, ivf_centroids
+
+    sc = spark.sparkContext
+    queries = vecs.filter(F.col("vec_id") < 5)
+    sc.setJobGroup("ann-plan-build", "must stay empty")
+    try:
+        ann_lsh_topk(vecs, queries, k=3, dim=64)
+        cents = ivf_centroids(vecs, nlist=4, use_kmeans=False, dim=64)
+        ann_ivf_topk(vecs, queries, k=3, centroids=cents, dim=64)
+        jobs = sc.statusTracker().getJobIdsForGroup("ann-plan-build")
+    finally:
+        sc.setJobGroup("ann-plan-build-done", "reset")
+    assert list(jobs) == [], jobs
+
+
 def test_ivf_full_probe_equals_brute(spark, vecs):
     """nprobe == nlist degenerates to exact brute force — recall 1.0."""
     from spel_spark.operators.ann import ann_ivf_topk, ivf_centroids

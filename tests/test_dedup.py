@@ -49,6 +49,28 @@ def test_minhash_near_dup_pairs(spark, docs):
     assert all(p[0] != 3 and p[1] != 3 for p in got)
 
 
+def test_multi_space_tokenization_drops_empty_tokens(spark):
+    """Runs of spaces must not create '' tokens: a constant empty-token
+    hash biases SimHash bit-sums and MinHash Jaccard estimates the same
+    way on every document (round-3 verdict #7).  Spacing-only variants of
+    one text must be exact signature duplicates / Jaccard-1.0 pairs."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha  beta   gamma    delta"),  # space runs only
+            (3, " alpha beta gamma delta "),  # leading/trailing
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert sh[1] == sh[2] == sh[3]
+    mh = {
+        (r.a_id, r.b_id): r.jacc
+        for r in minhash_near_dup_pairs(docs, jaccard_threshold=0.8).collect()
+    }
+    assert mh == {(1, 2): 1.0, (1, 3): 1.0, (2, 3): 1.0}
+
+
 def test_simhash_degenerate_band_matches_naive(spark):
     """Skew gate: 400 near-identical docs (27 shared tokens, 1 unique) land
     in shared 16-bit band buckets — the worst case the salted candidate

@@ -109,6 +109,33 @@ def test_read_ppr_candidates_zip_matches_extracted(spark, tmp_path):
     assert {r.doc_id for r in recs_z.collect()} == {1, 6}
 
 
+def test_read_ppr_candidates_zip_crlf_members(spark, tmp_path):
+    """A zip written on Windows carries CRLF members; splitting on '\\n'
+    alone would leave '\\r' glued to the last field of every record
+    (round-3 advice #3 — F.trim strips spaces only)."""
+    import zipfile
+
+    from spel_spark.sources.resources import read_ppr_candidates_zip
+
+    zp = tmp_path / "crlf.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("2", PPR_DOC_1.replace("\n", "\r\n"))
+    recs, cands = read_ppr_candidates_zip(spark, str(zp))
+    urls = [r.url for r in recs.collect()] + [r.url for r in cands.collect()]
+    assert urls and all(not u.endswith("\r") for u in urls), urls
+    # byte-identical to the LF parse
+    recs_lf, cands_lf = read_ppr_candidates(spark, _write_ppr_dir(tmp_path))
+    assert sorted(map(tuple, recs.collect())) == sorted(map(tuple, recs_lf.collect()))
+    assert sorted(map(tuple, cands.collect())) == sorted(map(tuple, cands_lf.collect()))
+
+
+def _write_ppr_dir(tmp_path):
+    d = tmp_path / "ppr_lf"
+    d.mkdir(exist_ok=True)
+    (d / "2").write_text(PPR_DOC_1)
+    return str(d)
+
+
 def test_mention_candidate_rank_join(spark):
     tokens = spark.createDataFrame(
         [(1, 0, "B", "EU"), (1, 3, "B", "EU"), (1, 5, "B", "Bonn")],
