@@ -37,18 +37,27 @@ from spel_spark.operators.spans import (
 )
 from spel_spark.operators.words import resolve_words
 
-AIDA_TESTC = "/root/reference/resources/data/aida_testc.ttl"
+# Default gold location, overridable per-host: the reference checkout path
+# only exists in this sandbox, so on any other machine set SPEL_AIDA_TESTC
+# (or pass ttl_path) — and the output row's ``gold_source`` column records
+# which corpus actually ran, so a silent fallback is distinguishable from a
+# real-gold run (round-3 advice #4).
+AIDA_TESTC = os.environ.get(
+    "SPEL_AIDA_TESTC", "/root/reference/resources/data/aida_testc.ttl"
+)
 
 
 def load_gold(spark: SparkSession, ttl_path: str | None = None):
-    """(contexts, phrases) gold DataFrames: the real AIDA testc NIF file
-    when present, else a small deterministic in-memory corpus with the
-    same shape (so the composed query runs on any host)."""
+    """(contexts, phrases, source) gold DataFrames + a source label: the
+    real AIDA testc NIF file when present (source = "nif:<path>"), else a
+    small deterministic in-memory corpus with the same shape (source =
+    "builtin_fallback") so the composed query runs on any host."""
     from spel_spark.sources.nif import parse_nif_gold
 
     path = ttl_path or AIDA_TESTC
     if os.path.exists(path):
-        return parse_nif_gold(spark, path)
+        contexts, phrases = parse_nif_gold(spark, path)
+        return contexts, phrases, f"nif:{path}"
     docs = [
         (1, "Alice Smith met Bob at the Acme Corp office in Berlin ."),
         (2, "Berlin is cold . Alice Smith works for Acme Corp ."),
@@ -70,7 +79,7 @@ def load_gold(spark: SparkSession, ttl_path: str | None = None):
     phrases = spark.createDataFrame(
         spans, "doc_id int, begin int, end int, surface string, entity string"
     )
-    return contexts, phrases
+    return contexts, phrases, "builtin_fallback"
 
 
 def entity_vocab(phrases: DataFrame) -> DataFrame:
@@ -160,9 +169,10 @@ def ep1_evaluate(
     corrupt_every: int | None = None,
 ) -> DataFrame:
     """The composed EP1 flagship: full reference evaluation lifecycle in
-    one DAG.  Returns ONE row: n_docs, n_gold_phrases, n_pred_phrases +
-    the MD/EL micro P/R/F1 columns of span_eval_from_alignment."""
-    contexts, gold_spans = load_gold(spark, ttl_path)
+    one DAG.  Returns ONE row: gold_source, n_docs, n_gold_phrases,
+    n_pred_phrases + the MD/EL micro P/R/F1 columns of
+    span_eval_from_alignment."""
+    contexts, gold_spans, gold_source = load_gold(spark, ttl_path)
     vocab = entity_vocab(gold_spans)
     gold_ids = gold_spans.join(F.broadcast(vocab), "entity").select(
         "doc_id", "begin", "end", "entity_id"
@@ -194,6 +204,7 @@ def ep1_evaluate(
     counts = (
         words.groupBy()
         .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .select(F.lit(gold_source).alias("gold_source"), "n_docs")
         .crossJoin(gold_stream.filter(F.col("entity") != 0).groupBy().agg(
             F.count(F.lit(1)).alias("n_gold_phrases")))
         .crossJoin(pred_stream.filter(F.col("entity") != 0).groupBy().agg(

@@ -243,16 +243,31 @@ def span_eval_from_alignment(segments: DataFrame) -> DataFrame:
     predicted segment's char interval, g_el/p_el additionally by entity)
     as ONE aggregation.  Returns one row:
     (md_tp, md_fp, md_fn, md_precision, md_recall, md_f1,
-     el_tp, el_fp, el_fn, el_precision, el_recall, el_f1)."""
+     el_tp, el_fp, el_fn, el_precision, el_recall, el_f1,
+     n_unaligned_entities).
+
+    True positives are GATED on ``span_match``: the reference never scores
+    a pair whose aligned surfaces disagree — it raises inside
+    compare_gold_and_predicted_annotation_documents instead (round-3
+    advice #2).  A segment where both sides carry an entity but the
+    sliced surfaces mismatch therefore counts as BOTH an fp (spurious
+    prediction) and an fn (missed gold), never a tp; the
+    ``n_unaligned_entities`` column surfaces how many such segments
+    existed so a genuinely misaligned stream is visible in the output
+    row rather than silently rescored."""
     g_in = F.col("g_entity") != 0
     p_in = F.col("p_entity") != 0
+    aligned = F.col("span_match")
     agg = segments.agg(
-        F.sum((g_in & p_in).cast("long")).alias("md_tp"),
-        F.sum((~g_in & p_in).cast("long")).alias("md_fp"),
-        F.sum((g_in & ~p_in).cast("long")).alias("md_fn"),
-        F.sum((g_in & p_in & (F.col("g_entity") == F.col("p_entity"))).cast("long")).alias("el_tp"),
+        F.sum((g_in & p_in & aligned).cast("long")).alias("md_tp"),
+        F.sum((p_in & ~(g_in & aligned)).cast("long")).alias("md_fp"),
+        F.sum((g_in & ~(p_in & aligned)).cast("long")).alias("md_fn"),
+        F.sum(
+            (g_in & p_in & aligned & (F.col("g_entity") == F.col("p_entity"))).cast("long")
+        ).alias("el_tp"),
         F.sum(p_in.cast("long")).alias("n_p"),
         F.sum(g_in.cast("long")).alias("n_g"),
+        F.sum((~aligned & (g_in | p_in)).cast("long")).alias("n_unaligned_entities"),
     )
 
     def prf(tp, fp, fn, prefix):
@@ -276,6 +291,7 @@ def span_eval_from_alignment(segments: DataFrame) -> DataFrame:
         el_fp.alias("el_fp"),
         el_fn.alias("el_fn"),
         *prf(el_tp, el_fp, el_fn, "el"),
+        "n_unaligned_entities",
     )
 
 

@@ -99,16 +99,36 @@ def _with_list_key(df: DataFrame) -> DataFrame:
     )
 
 
-def union_candidates(a: DataFrame, b: DataFrame) -> DataFrame:
-    """J9 union-merge of two candidate tables (testa ∪ testb): the merged
-    list is a's list followed by b's UNSEEN entities in b's order
-    (candidate_manager.py:42-51 appends only entities not already
-    present).  Ranks reproduce that concatenation: a-entities keep a's
-    rank; b-only entities are re-ranked after a's list end, so sorting
-    the merged rows by rank reconstructs the reference's merged list
-    exactly (no rank collisions)."""
+def union_candidates(
+    a: DataFrame, b: DataFrame, mode: str = "append_unseen"
+) -> DataFrame:
+    """J9 union-merge of two candidate tables (testa ∪ testb).
+
+    ``mode="append_unseen"`` — the reference's CONTEXT-AGNOSTIC merge
+    (candidate_manager.py:44-49): the merged list is a's list followed by
+    b's UNSEEN entities in b's order.  Ranks reproduce that
+    concatenation: a-entities keep a's rank; b-only entities are
+    re-ranked after a's list end, so sorting the merged rows by rank
+    reconstructs the reference's merged list exactly (no rank
+    collisions).
+
+    ``mode="replace"`` — the reference's CONTEXT-AWARE merge
+    (candidate_manager.py:51 uses ``dict.update``): for any list key
+    present in b, b's list WHOLLY replaces a's (a's rows for that key are
+    dropped, b's ranks kept verbatim); a-only keys pass through.  Use
+    this when merging context_aware_mentions / context_aware_spans
+    tables — routing them through append_unseen diverges from reference
+    semantics (round-3 advice #1).
+    """
+    if mode not in ("append_unseen", "replace"):
+        raise ValueError(f"mode must be 'append_unseen' or 'replace', got {mode!r}")
     a = _with_list_key(a.groupBy(*_KEY_COLS).agg(F.min("rank").alias("rank")))
     b = _with_list_key(b.groupBy(*_KEY_COLS).agg(F.min("rank").alias("rank")))
+    if mode == "replace":
+        a_kept = a.join(b.select("_lk").distinct(), "_lk", "left_anti")
+        return a_kept.select(*_KEY_COLS, "rank").unionByName(
+            b.select(*_KEY_COLS, "rank")
+        )
     a_len = a.groupBy("_lk").agg((F.max("rank") + 1).alias("_a_len"))
     b_only = b.join(a.select("_lk", "entity"), ["_lk", "entity"], "left_anti")
     w = Window.partitionBy("_lk").orderBy("rank")

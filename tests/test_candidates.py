@@ -141,6 +141,42 @@ def test_union_merge_reconstructs_reference_list_order(spark):
     assert other == [(0, "E9")]
 
 
+def test_union_merge_replace_mode_context_aware(spark):
+    """J9 context-aware merge (candidate_manager.py:51, dict.update): for
+    a list key present in b, b's list WHOLLY replaces a's — a's entities
+    for that key are dropped even if absent from b's list; a-only keys
+    pass through; b's ranks are kept verbatim (round-3 advice #1)."""
+    schema = (
+        "context_key string, mention string, begin_char int, end_char int, "
+        "entity string, rank int"
+    )
+    a = spark.createDataFrame(
+        [
+            ("s1", "m", None, None, "E1", 0),
+            ("s1", "m", None, None, "E2", 1),
+            ("s2", "n", None, None, "E7", 0),  # a-only key: passes through
+        ],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [
+            ("s1", "m", None, None, "E3", 0),  # replaces a's whole s1/m list
+            ("s1", "m", None, None, "E2", 1),
+            ("s3", "p", None, None, "E9", 0),  # b-only key
+        ],
+        schema,
+    )
+    rows = union_candidates(a, b, mode="replace").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.context_key, r.mention), []).append((r.rank, r.entity))
+    assert sorted(by_key[("s1", "m")]) == [(0, "E3"), (1, "E2")]  # E1 gone
+    assert by_key[("s2", "n")] == [(0, "E7")]
+    assert by_key[("s3", "p")] == [(0, "E9")]
+    with pytest.raises(ValueError):
+        union_candidates(a, b, mode="bogus")
+
+
 def test_bad_layout_raises(spark):
     with pytest.raises(ValueError):
         read_candidate_json(spark, "/tmp/x.json", "nope")

@@ -100,6 +100,21 @@ def test_align_statuses_and_metrics(spark):
     assert m.md_recall == pytest.approx(2 / 3)
 
 
+def test_eval_gates_tp_on_span_match(spark):
+    """Round-3 advice #2: a segment whose sliced surfaces mismatch
+    (status UNALIGNED — the reference raises there) must never count as a
+    tp even when both entities agree; it scores as fp + fn and is
+    surfaced in n_unaligned_entities."""
+    gold = [(1, 0, 3, 1, "abc"), (1, 4, 7, 2, "def")]
+    pred = [(1, 0, 3, 1, "xyz"), (1, 4, 7, 2, "def")]  # first surface differs
+    g = spark.createDataFrame(gold, SPAN_SCHEMA)
+    p = spark.createDataFrame(pred, SPAN_SCHEMA)
+    m = span_eval_from_alignment(span_align_resegment(g, p)).collect()[0]
+    assert (m.md_tp, m.md_fp, m.md_fn) == (1, 1, 1)
+    assert (m.el_tp, m.el_fp, m.el_fn) == (1, 1, 1)
+    assert m.n_unaligned_entities == 1
+
+
 @needs_ttl
 def test_ep1_gold_vs_gold_is_perfect(spark):
     """The composed lifecycle over the REAL aida_testc.ttl: feeding the
@@ -107,6 +122,7 @@ def test_ep1_gold_vs_gold_is_perfect(spark):
     -> align must reproduce the gold exactly (F1 = 1.0 on both MD and
     EL) — pipeline parity for the reference's #1 entry point."""
     r = ep1_evaluate(spark).collect()[0]
+    assert r.gold_source == f"nif:{AIDA_TESTC}"  # real-gold run, visibly
     assert r.n_docs == 131
     assert r.n_gold_phrases > 3000
     assert r.n_pred_phrases == r.n_gold_phrases
@@ -132,6 +148,7 @@ def test_ep1_synthetic_fallback_runs_anywhere(spark):
     """Without the reference checkout the built-in corpus drives the same
     DAG to the same invariant (F1 = 1.0)."""
     r = ep1_evaluate(spark, ttl_path="/nonexistent/gold.ttl").collect()[0]
+    assert r.gold_source == "builtin_fallback"  # fallback is distinguishable
     assert r.n_docs == 3
     assert r.md_f1 == pytest.approx(1.0)
     assert r.el_f1 == pytest.approx(1.0)
