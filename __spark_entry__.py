@@ -12,7 +12,11 @@ portable md5 MinHash + LSH bands), and training-data-pipeline ops
 fingerprinting).  xxhash64-based internals (SimHash, engine LSH, full ER
 pipeline, Jaro-Winkler) have no DuckDB twin and are exported rows-only,
 as is ``ep1_flagship`` — the reference's composed batch-evaluation
-lifecycle over the real AIDA testc gold (NIF parse + window cascades).
+lifecycle over the real AIDA testc gold.  The SAME composed lifecycle is
+oracle-checked end to end as ``ep1_flagship_portable`` (builtin corpus,
+md5-seeded corruption, full stage-by-stage DuckDB twin), and the IVF ANN
+path as ``ann_ivf_topk`` (literal centroids); only k-means training
+itself stays rows-only (``ann_ivf_kmeans``).
 """
 
 from __future__ import annotations
@@ -102,9 +106,11 @@ def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_dedup_minhash_pairs(spark, sf_dir)
 
 
-def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path: KMeans coarse quantizer (fixed seed) + nprobe
-    cell probing + exact re-rank.  Rows-only (no portable KMeans twin)."""
+def _q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the TRAINED coarse quantizer (pyspark.ml KMeans, fixed
+    seed) — rows-only: k-means itself has no portable twin.  The same
+    operator with literal centroids is the oracle-checked catalog query
+    ``ann_ivf_topk`` (queries.q_ann_ivf_topk)."""
     from pyspark.sql import functions as F
 
     from spel_spark.operators.ann import ann_ivf_topk
@@ -113,7 +119,7 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") < 10)
-    return ann_ivf_topk(e, q, k=5, nlist=8, nprobe=4)
+    return ann_ivf_topk(e, q, k=5, nlist=8, nprobe=4, dim=64)
 
 
 def _q_ep1_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,7 +142,7 @@ _ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pairs_engine": _q_pairs_engine,
     "pair_scores_engine": _q_pair_scores_engine,
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
-    "ann_ivf_topk": _q_ann_ivf_topk,
+    "ann_ivf_kmeans": _q_ann_ivf_kmeans,
     "ep1_flagship": _q_ep1_flagship,
 }
 

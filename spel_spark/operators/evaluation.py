@@ -46,6 +46,27 @@ AIDA_TESTC = os.environ.get(
     "SPEL_AIDA_TESTC", "/root/reference/resources/data/aida_testc.ttl"
 )
 
+# Deterministic fallback gold corpus — module-level so the oracle-checked
+# ep1_flagship_portable query (queries.py) can render the SAME rows as
+# DuckDB VALUES literals.
+FALLBACK_DOCS = [
+    (1, "Alice Smith met Bob at the Acme Corp office in Berlin ."),
+    (2, "Berlin is cold . Alice Smith works for Acme Corp ."),
+    (3, "Bob visited the office of Acme Corp near Berlin yesterday ."),
+]
+FALLBACK_SPANS = [
+    (1, 0, 11, "Alice Smith", "Alice_Smith"),
+    (1, 16, 19, "Bob", "Bob_Jones"),
+    (1, 27, 36, "Acme Corp", "Acme_Corp"),
+    (1, 47, 53, "Berlin", "Berlin"),
+    (2, 0, 6, "Berlin", "Berlin"),
+    (2, 17, 28, "Alice Smith", "Alice_Smith"),
+    (2, 39, 48, "Acme Corp", "Acme_Corp"),
+    (3, 0, 3, "Bob", "Bob_Jones"),
+    (3, 26, 35, "Acme Corp", "Acme_Corp"),
+    (3, 41, 47, "Berlin", "Berlin"),
+]
+
 
 def load_gold(spark: SparkSession, ttl_path: str | None = None):
     """(contexts, phrases, source) gold DataFrames + a source label: the
@@ -58,26 +79,9 @@ def load_gold(spark: SparkSession, ttl_path: str | None = None):
     if os.path.exists(path):
         contexts, phrases = parse_nif_gold(spark, path)
         return contexts, phrases, f"nif:{path}"
-    docs = [
-        (1, "Alice Smith met Bob at the Acme Corp office in Berlin ."),
-        (2, "Berlin is cold . Alice Smith works for Acme Corp ."),
-        (3, "Bob visited the office of Acme Corp near Berlin yesterday ."),
-    ]
-    spans = [
-        (1, 0, 11, "Alice Smith", "Alice_Smith"),
-        (1, 16, 19, "Bob", "Bob_Jones"),
-        (1, 27, 36, "Acme Corp", "Acme_Corp"),
-        (1, 47, 53, "Berlin", "Berlin"),
-        (2, 0, 6, "Berlin", "Berlin"),
-        (2, 17, 28, "Alice Smith", "Alice_Smith"),
-        (2, 39, 48, "Acme Corp", "Acme_Corp"),
-        (3, 0, 3, "Bob", "Bob_Jones"),
-        (3, 26, 35, "Acme Corp", "Acme_Corp"),
-        (3, 41, 47, "Berlin", "Berlin"),
-    ]
-    contexts = spark.createDataFrame(docs, "doc_id int, text string")
+    contexts = spark.createDataFrame(FALLBACK_DOCS, "doc_id int, text string")
     phrases = spark.createDataFrame(
-        spans, "doc_id int, begin int, end int, surface string, entity string"
+        FALLBACK_SPANS, "doc_id int, begin int, end int, surface string, entity string"
     )
     return contexts, phrases, "builtin_fallback"
 
@@ -123,21 +127,41 @@ def label_words(tokens: DataFrame, gold: DataFrame) -> DataFrame:
 
 
 def synth_subword_annotations(
-    words: DataFrame, corrupt_every: int | None = None
+    words: DataFrame, corrupt_every: int | None = None, portable: bool = False
 ) -> DataFrame:
     """Deterministic stand-in for the model's per-subword top-k output.
 
     Each word becomes two subwords whose top-k list ranks the word's gold
     label first (p = 0.85) over a decoy id (p = 0.10) — the shape
     resolve_words consumes (span_annotation.py:77-121).  With
-    ``corrupt_every`` = N, words where xxhash64(doc_id, word_idx) % N == 0
+    ``corrupt_every`` = N, words where hash(doc_id, word_idx) % N == 0
     flip their top-1: in-mention words to O (a recall miss) and O words to
     entity id 1 (a precision miss) — seeded, so the degraded F1 is exactly
-    reproducible."""
+    reproducible.
+
+    ``portable=True`` swaps the corruption hash from engine-internal
+    xxhash64 to the md5-hex-prefix construction DuckDB reproduces
+    bit-for-bit (``CAST('0x'||substr(md5(..),1,8) AS BIGINT)``) — used by
+    the oracle-checked ep1_flagship_portable query."""
     lbl = F.col("label")
     if corrupt_every:
-        hit = F.pmod(F.xxhash64(F.col("doc_id").cast("string"), "word_idx"),
-                     F.lit(corrupt_every)) == 0
+        if portable:
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.col("word_idx").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+        else:
+            h = F.xxhash64(F.col("doc_id").cast("string"), "word_idx")
+        hit = F.pmod(h, F.lit(corrupt_every)) == 0
         lbl = F.when(hit & (lbl != 0), F.lit(0)).when(hit, F.lit(1)).otherwise(lbl)
     # cast pins the struct field names: F.struct() silently names fields
     # col1/col2 when the member is a CASE expression (alias dropped)
@@ -167,6 +191,7 @@ def ep1_evaluate(
     spark: SparkSession,
     ttl_path: str | None = None,
     corrupt_every: int | None = None,
+    portable_corruption: bool = False,
 ) -> DataFrame:
     """The composed EP1 flagship: full reference evaluation lifecycle in
     one DAG.  Returns ONE row: gold_source, n_docs, n_gold_phrases,
@@ -185,7 +210,7 @@ def ep1_evaluate(
     words = label_words(toks, gold_ids).persist()  # consumed by synth + joins x2
 
     def stream(corrupt: int | None) -> DataFrame:
-        sub = synth_subword_annotations(words, corrupt)
+        sub = synth_subword_annotations(words, corrupt, portable=portable_corruption)
         resolved = resolve_words(sub)
         ann = resolved.join(words, ["doc_id", "word_idx"]).select(
             "doc_id", "word_idx",

@@ -759,6 +759,85 @@ SELECT q_id, nbr_id, rk, cos FROM r WHERE rk <= 5
 """
 
 
+# --- IVF ANN, portable variant: literal centroids -> DuckDB-checkable ----
+
+_IVF_DIM = 64      # driver embeddings are 64-dim at every SF
+_IVF_NLIST = 8
+_IVF_NPROBE = 4
+
+
+def _ivf_literal_centroids() -> list[list[float]]:
+    """Deterministic data-independent centroids (seeded gaussian, L2
+    normalized).  Literal on BOTH sides: Spark gets them as F.lit trees,
+    DuckDB as repr()-rendered SQL literals — repr round-trips doubles
+    exactly, so the two engines score identical centroid dots."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    c = rng.standard_normal((_IVF_NLIST, _IVF_DIM))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in c]
+
+
+IVF_CENTROIDS = _ivf_literal_centroids()
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with LITERAL centroids (round-3 verdict #4): nearest-cell
+    assignment + nprobe probing + exact cosine re-rank, oracle-checked
+    end to end.  The k-means-trained quantizer is the same operator with
+    ``centroids=ivf_centroids(...)`` (rows-only query ann_ivf_kmeans;
+    recall-tested in tests/test_ann.py)."""
+    from spel_spark.operators.ann import ann_ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    return ann_ivf_topk(
+        e, q, k=5, nprobe=_IVF_NPROBE, centroids=IVF_CENTROIDS, dim=_IVF_DIM
+    )
+
+
+def _sql_ivf_centroid_list(c: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in c) + "]"
+
+
+# Probe ordering mirrors ann_ivf_topk's reverse(array_sort(struct(s, i)))
+# exactly: score DESC, then cell index DESC on (impossible-in-float) ties.
+# Assignment argmax mirrors array_position(scores, array_max(scores)):
+# FIRST max wins in both engines (list_position is first-occurrence).
+SQL_ANN_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (SELECT vec_id, v, [{", ".join(
+    f"list_dot_product(v, {_sql_ivf_centroid_list(c)})" for c in IVF_CENTROIDS
+)}] AS cs FROM e),
+inv AS (SELECT vec_id AS nbr_id, v AS nbr_v,
+               list_position(cs, list_max(cs)) - 1 AS cell
+        FROM scored),
+probe AS (
+  SELECT vec_id AS q_id, v AS q_v, i AS cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_extract(cs, i + 1) DESC, i DESC) AS prk
+  FROM scored CROSS JOIN range(0, {_IVF_NLIST}) r(i)
+  WHERE vec_id < 10),
+cands AS (
+  SELECT p.q_id, p.q_v, inv.nbr_id, inv.nbr_v
+  FROM (SELECT * FROM probe WHERE prk <= {_IVF_NPROBE}) p
+  JOIN inv USING (cell)
+  WHERE inv.nbr_id <> p.q_id),
+s AS (SELECT q_id, nbr_id, list_cosine_similarity(q_v, nbr_v) AS cos_raw
+      FROM cands),
+r2 AS (SELECT q_id, nbr_id,
+              row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_raw DESC, nbr_id) AS rk,
+              CAST(round(cos_raw, 6) AS DOUBLE) AS cos
+       FROM s)
+SELECT q_id, nbr_id, rk, cos FROM r2 WHERE rk <= 5
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Text quality scoring: token counts, uniqueness, mean token length,
     BPE-ish length estimate (ceil(chars/4))."""
@@ -983,6 +1062,251 @@ SELECT doc_id, word_idx, entity_id AS resolved_entity,
        CAST(round(avg_p, 6) AS DOUBLE) AS confidence, n_subwords
 FROM rk WHERE rnk = 1
 """
+
+
+# --------------------------------------------------------------------------
+# EP1 flagship, portable: the composed reference evaluation lifecycle with a
+# DuckDB twin (round-3 verdict #1) — gold-vs-gold AND one corruption setting
+# --------------------------------------------------------------------------
+
+_EP1_CORRUPT = 7  # the fixed corruption setting checked alongside N=0
+
+
+def q_ep1_flagship_portable(spark, sf_dir):
+    """EP1 oracle-checked: the full lifecycle (punct_tokenize -> gold word
+    labeling -> synthesized subword top-k -> resolve_words cascade ->
+    consecutive-run phrases -> re-segmenting span alignment -> MD/EL
+    micro P/R/F1; ref evaluate_local.py:79-109) over the deterministic
+    builtin corpus, run uncorrupted (corrupt_every=0 -> F1 1.0) and at
+    one fixed md5-seeded corruption (corrupt_every=7).  sf_dir is
+    ignored — the corpus is literal on both sides, so DuckDB re-executes
+    the entire composition stage by stage."""
+    from spel_spark.operators.evaluation import ep1_evaluate
+
+    outs = []
+    for n in (0, _EP1_CORRUPT):
+        r = ep1_evaluate(
+            spark,
+            ttl_path="/nonexistent-use-builtin-corpus.ttl",
+            corrupt_every=n or None,
+            portable_corruption=True,
+        ).withColumn("corrupt_every", F.lit(n))
+        outs.append(r)
+    u = outs[0].unionByName(outs[1])
+    return u.select(
+        "corrupt_every", "gold_source", "n_docs",
+        "n_gold_phrases", "n_pred_phrases",
+        "md_tp", "md_fp", "md_fn",
+        _r6(F.col("md_precision")).alias("md_precision"),
+        _r6(F.col("md_recall")).alias("md_recall"),
+        _r6(F.col("md_f1")).alias("md_f1"),
+        "el_tp", "el_fp", "el_fn",
+        _r6(F.col("el_precision")).alias("el_precision"),
+        _r6(F.col("el_recall")).alias("el_recall"),
+        _r6(F.col("el_f1")).alias("el_f1"),
+        "n_unaligned_entities",
+    )
+
+
+def _ep1_values_sql() -> tuple[str, str]:
+    from spel_spark.operators.evaluation import FALLBACK_DOCS, FALLBACK_SPANS
+
+    docs = ", ".join(f"({d}, '{t}')" for d, t in FALLBACK_DOCS)
+    spans = ", ".join(
+        f"({d}, {b}, {e}, '{s}', '{en}')" for d, b, e, s, en in FALLBACK_SPANS
+    )
+    return docs, spans
+
+
+def _ep1_stream_sql(suffix: str, corrupt_every: int) -> str:
+    """CTE chain for ONE phrase stream: corrupted labels -> synthesized
+    2-subword top-k -> the SQL_WORD_RESOLUTION cascade (n_subwords = 2) ->
+    gaps-and-islands phrase merge.  Mirrors evaluation.synth_subword_
+    annotations + words.resolve_words + spans.phrases_from_annotations."""
+    s = suffix
+    if corrupt_every:
+        lbl = (
+            "CASE WHEN CAST(concat('0x', substr(md5(doc_id::VARCHAR || ':' || "
+            f"word_idx::VARCHAR), 1, 8)) AS BIGINT) % {corrupt_every} = 0 "
+            "THEN (CASE WHEN label <> 0 THEN 0 ELSE 1 END) ELSE label END"
+        )
+    else:
+        lbl = "label"
+    return f"""
+lbl_{s} AS (
+  SELECT doc_id, word_idx, word, begin_char, end_char, {lbl} AS lbl
+  FROM words_l),
+ex_{s} AS (
+  SELECT doc_id, word_idx, 0 AS subword_idx, 0 AS pos, lbl AS entity_id, 0.85 AS p FROM lbl_{s}
+  UNION ALL SELECT doc_id, word_idx, 0, 1, lbl + 100000, 0.10 FROM lbl_{s}
+  UNION ALL SELECT doc_id, word_idx, 1, 0, lbl, 0.85 FROM lbl_{s}
+  UNION ALL SELECT doc_id, word_idx, 1, 1, lbl + 100000, 0.10 FROM lbl_{s}),
+per_sub_{s} AS (
+  SELECT doc_id, word_idx, subword_idx, entity_id, max(p) AS p, min(pos) AS pos
+  FROM ex_{s} GROUP BY 1, 2, 3, 4),
+agg_{s} AS (
+  SELECT doc_id, word_idx, entity_id, count(*) AS n_hits, sum(p) AS sum_p,
+         sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS votes,
+         min(CASE WHEN pos = 0 THEN subword_idx END) AS first_vote
+  FROM per_sub_{s} GROUP BY 1, 2, 3),
+feat_{s} AS (
+  SELECT doc_id, word_idx, entity_id, sum_p / 2 AS avg_p,
+         n_hits = 2 AS is_cand, votes, first_vote, votes = 2 AS unanimous
+  FROM agg_{s}),
+rk_{s} AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id, word_idx
+    ORDER BY unanimous DESC, is_cand DESC,
+             CAST(floor((CASE WHEN is_cand THEN avg_p ELSE 0.0 END) * 1e9
+                  + 0.5) AS BIGINT) DESC,
+             votes DESC, first_vote ASC NULLS LAST, entity_id ASC) AS rnk
+  FROM feat_{s}),
+ann_{s} AS (
+  SELECT w.doc_id, w.word_idx, w.word, w.begin_char, w.end_char, r.entity_id AS ann
+  FROM words_l w JOIN (SELECT * FROM rk_{s} WHERE rnk = 1) r
+  USING (doc_id, word_idx)),
+chg_{s} AS (
+  SELECT *, CASE WHEN lag(ann) OVER (PARTITION BY doc_id ORDER BY word_idx)
+                 IS DISTINCT FROM ann THEN 1 ELSE 0 END AS chg
+  FROM ann_{s}),
+runs_{s} AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY doc_id ORDER BY word_idx
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM chg_{s}),
+ph_{s} AS (
+  SELECT doc_id, run_id, ann AS entity,
+         min(begin_char) AS b, max(end_char) AS e,
+         string_agg(word, ' ' ORDER BY word_idx) AS surface
+  FROM runs_{s} GROUP BY 1, 2, 3)"""
+
+
+def _ep1_metrics_sql(label: int, gs: str, ps: str) -> str:
+    """Segment alignment + span-match-gated MD/EL counters for one
+    (gold stream, pred stream) pair — mirrors spans.span_align_resegment
+    + spans.span_eval_from_alignment (both streams fully partition each
+    document, so the interval join is total: inner == full outer)."""
+    def sliced(side: str) -> str:
+        return (
+            f"CASE WHEN greatest(g.b, p.b) = {side}.b AND least(g.e, p.e) = {side}.e "
+            f"THEN {side}.surface "
+            f"ELSE substr({side}.surface, greatest(g.b, p.b) - {side}.b + 1, "
+            f"least(g.e, p.e) - greatest(g.b, p.b)) END"
+        )
+
+    return f"""
+seg_{label} AS (
+  SELECT g.entity AS ge, p.entity AS pe,
+         replace({sliced('g')}, ' ', '') = replace({sliced('p')}, ' ', '') AS sm
+  FROM ph_{gs} g JOIN ph_{ps} p
+    ON g.doc_id = p.doc_id AND p.b < g.e AND g.b < p.e),
+m_{label} AS (
+  SELECT
+    CAST(sum(CASE WHEN ge <> 0 AND pe <> 0 AND sm THEN 1 ELSE 0 END) AS BIGINT) AS md_tp,
+    CAST(sum(CASE WHEN pe <> 0 AND NOT (ge <> 0 AND sm) THEN 1 ELSE 0 END) AS BIGINT) AS md_fp,
+    CAST(sum(CASE WHEN ge <> 0 AND NOT (pe <> 0 AND sm) THEN 1 ELSE 0 END) AS BIGINT) AS md_fn,
+    CAST(sum(CASE WHEN ge <> 0 AND pe <> 0 AND sm AND ge = pe THEN 1 ELSE 0 END) AS BIGINT) AS el_tp,
+    CAST(sum(CASE WHEN pe <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+    CAST(sum(CASE WHEN ge <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_g,
+    CAST(sum(CASE WHEN NOT sm AND (ge <> 0 OR pe <> 0) THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_unaligned_entities
+  FROM seg_{label}),
+row_{label} AS (
+  SELECT {label} AS corrupt_every, 'builtin_fallback' AS gold_source,
+         (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM words_l) AS n_docs,
+         (SELECT CAST(count(*) AS BIGINT) FROM ph_{gs} WHERE entity <> 0) AS n_gold_phrases,
+         (SELECT CAST(count(*) AS BIGINT) FROM ph_{ps} WHERE entity <> 0) AS n_pred_phrases,
+         md_tp, md_fp, md_fn,
+         CAST(round(md_tp::DOUBLE / greatest(md_tp + md_fp, 1), 6) AS DOUBLE) AS md_precision,
+         CAST(round(md_tp::DOUBLE / greatest(md_tp + md_fn, 1), 6) AS DOUBLE) AS md_recall,
+         CAST(round(CASE WHEN md_tp::DOUBLE / greatest(md_tp + md_fp, 1)
+                          + md_tp::DOUBLE / greatest(md_tp + md_fn, 1) > 0
+            THEN 2 * (md_tp::DOUBLE / greatest(md_tp + md_fp, 1))
+                   * (md_tp::DOUBLE / greatest(md_tp + md_fn, 1))
+                 / (md_tp::DOUBLE / greatest(md_tp + md_fp, 1)
+                    + md_tp::DOUBLE / greatest(md_tp + md_fn, 1))
+            ELSE 0.0 END, 6) AS DOUBLE) AS md_f1,
+         el_tp, (n_p - el_tp) AS el_fp, (n_g - el_tp) AS el_fn,
+         CAST(round(el_tp::DOUBLE / greatest(n_p, 1), 6) AS DOUBLE) AS el_precision,
+         CAST(round(el_tp::DOUBLE / greatest(n_g, 1), 6) AS DOUBLE) AS el_recall,
+         CAST(round(CASE WHEN el_tp::DOUBLE / greatest(n_p, 1)
+                          + el_tp::DOUBLE / greatest(n_g, 1) > 0
+            THEN 2 * (el_tp::DOUBLE / greatest(n_p, 1))
+                   * (el_tp::DOUBLE / greatest(n_g, 1))
+                 / (el_tp::DOUBLE / greatest(n_p, 1)
+                    + el_tp::DOUBLE / greatest(n_g, 1))
+            ELSE 0.0 END, 6) AS DOUBLE) AS el_f1,
+         n_unaligned_entities
+  FROM m_{label})"""
+
+
+def _ep1_portable_sql() -> str:
+    docs, spans = _ep1_values_sql()
+    return rf"""
+WITH corpus(doc_id, text) AS (VALUES {docs}),
+spans(doc_id, g_begin, g_end, g_surface, entity) AS (VALUES {spans}),
+vocab AS (
+  SELECT entity, CAST(row_number() OVER (ORDER BY entity) AS INT) AS entity_id
+  FROM (SELECT DISTINCT entity FROM spans)),
+gold_ids AS (
+  SELECT s.doc_id, s.g_begin, s.g_end, v.entity_id
+  FROM spans s JOIN vocab v USING (entity)),
+ws AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+w AS (
+  SELECT doc_id, unnest(generate_series(0, len(words) - 1)) AS i,
+         unnest(words) AS word
+  FROM ws),
+wo AS (
+  SELECT doc_id, i, word,
+         CAST(coalesce(SUM(len(word) + 1)
+            OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS b
+  FROM w),
+parts AS (
+  SELECT doc_id, i, word, b, b + len(word) AS e,
+         regexp_extract(word, '^([!-/:-@\[-`{{-~]+)', 1) AS lead
+  FROM wo WHERE len(word) > 0),
+shaped AS (
+  SELECT doc_id, i, word, b, e, lead,
+         CASE WHEN len(lead) = len(word) THEN ''
+              ELSE regexp_extract(word[len(lead) + 1:], '([!-/:-@\[-`{{-~]+)$', 1)
+         END AS trail
+  FROM parts),
+subtoks AS (
+  SELECT doc_id, i, unnest(
+    CASE
+      WHEN lead = '' AND trail = '' AND (word LIKE '%''s' OR word LIKE '%''S')
+        THEN [{{'tok': word[1:len(word)-2], 'bb': b, 'ee': e - 2}},
+              {{'tok': word[len(word)-1:], 'bb': e - 2, 'ee': e}}]
+      WHEN lead = '' AND trail = ''
+        THEN [{{'tok': word, 'bb': b, 'ee': e}}]
+      ELSE list_filter(
+        [{{'tok': lead, 'bb': b, 'ee': b + len(lead)}},
+         {{'tok': word[len(lead)+1:len(word)-len(trail)], 'bb': b + len(lead), 'ee': e - len(trail)}},
+         {{'tok': CASE WHEN len(trail) > 0 THEN word[len(word)-len(trail)+1:] ELSE '' END,
+          'bb': e - len(trail), 'ee': e}}],
+        x -> len(x.tok) > 0)
+    END) AS s
+  FROM shaped),
+tokens AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i, s.bb) - 1 AS INT)
+           AS word_idx,
+         s.tok AS word, CAST(s.bb AS INT) AS begin_char, CAST(s.ee AS INT) AS end_char
+  FROM subtoks),
+words_l AS (
+  SELECT t.doc_id, t.word_idx, t.word, t.begin_char, t.end_char,
+         coalesce(g.entity_id, 0) AS label
+  FROM tokens t LEFT JOIN gold_ids g
+    ON t.doc_id = g.doc_id AND t.begin_char >= g.g_begin AND t.end_char <= g.g_end),
+{_ep1_stream_sql('g', 0).lstrip()},
+{_ep1_stream_sql('p', _EP1_CORRUPT).lstrip()},
+{_ep1_metrics_sql(0, 'g', 'g').lstrip()},
+{_ep1_metrics_sql(_EP1_CORRUPT, 'g', 'p').lstrip()}
+SELECT * FROM row_0 UNION ALL SELECT * FROM row_{_EP1_CORRUPT}
+"""
+
+
+SQL_EP1_FLAGSHIP_PORTABLE = _ep1_portable_sql()
 
 
 def q_subword_eval(spark, sf_dir):
@@ -1382,6 +1706,7 @@ CATALOG: dict[str, tuple] = {
     "doc_clusters_portable": (q_doc_clusters_portable, SQL_DOC_CLUSTERS_PORTABLE),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
@@ -1393,4 +1718,5 @@ CATALOG: dict[str, tuple] = {
     "candidate_filter": (q_candidate_filter, SQL_CANDIDATE_FILTER),
     "candidate_rerank": (q_candidate_rerank, SQL_CANDIDATE_RERANK),
     "subword_eval": (q_subword_eval, SQL_SUBWORD_EVAL),
+    "ep1_flagship_portable": (q_ep1_flagship_portable, SQL_EP1_FLAGSHIP_PORTABLE),
 }

@@ -61,7 +61,7 @@ def test_rows_only_queries_run(spark):
     oracles = E.oracle_sql()
     # every oracle key must exist in queries
     assert set(oracles) <= set(qs)
-    for name in ["simhash_dedup", "minhash_doc_clusters", "ann_ivf_topk",
+    for name in ["simhash_dedup", "minhash_doc_clusters", "ann_ivf_kmeans",
                  "ep1_flagship", "dedup_minhash_pairs"]:
         df = qs[name](spark, SF)
         assert df.count() >= 0  # runs, stable schema
