@@ -159,9 +159,23 @@ def span_align_resegment(gold: DataFrame, pred: DataFrame) -> DataFrame:
     sequential state.  Each side's surface is sliced to the intersection
     (offset arithmetic into its own surface string) so split/merge cases
     compare the right text; the space-stripped comparison then absorbs
-    pure spacing drift between the slices.  Documented deviation: the
-    reference's word-granular common-prefix fallback ("re-alignment not
-    helpful", utils.py:486-497) is char-granular here.
+    pure spacing drift between the slices.
+
+    Word-granular fallback (ref utils.py:486-497, the "re-alignment not
+    helpful" branch): when a segment's slices disagree even space-
+    insensitively, the reference walks both spans' WORD lists in
+    lockstep, emits the longest pairwise-equal word prefix as an aligned
+    comparison pair (dropping the first differing word), and continues
+    on the remainders.  Re-expressed set-based: an UNALIGNED segment
+    whose slices share a >= 1-word pairwise-equal prefix splits into an
+    ALIGNED prefix segment (status recomputed from the entities, exactly
+    get_correct_status on the prefix phrases) plus an UNALIGNED
+    remainder segment.  Documented residual deviation: the reference
+    would loop again on the remainders, but past the first divergence
+    its loop only terminates for inputs that re-enter the solvable
+    branches — on the genuinely divergent tail it does not terminate at
+    all (utils.py:487 builds an empty phrase and re-advances by zero),
+    so the remainder is reported UNALIGNED rather than re-aligned.
 
     This is an EVALUATION operator (gold sets are small); it is not on
     the 100-TB extract/cluster hot path.
@@ -224,7 +238,7 @@ def span_align_resegment(gold: DataFrame, pred: DataFrame) -> DataFrame:
         .when(~g_is_o, F.lit("CORRECTLY_FOUND_SPAN_BUT_NOT_ANNOTATION"))
         .otherwise(F.lit("OVER_GENERATED_ANNOTATION"))
     )
-    return joined.select(
+    base = joined.select(
         F.coalesce("g_doc", "p_doc").alias("doc_id"),
         F.coalesce(seg_begin, F.col("g_begin"), F.col("p_begin")).alias("seg_begin"),
         F.coalesce(seg_end, F.col("g_end"), F.col("p_end")).alias("seg_end"),
@@ -235,6 +249,73 @@ def span_align_resegment(gold: DataFrame, pred: DataFrame) -> DataFrame:
         F.coalesce(span_match, F.lit(False)).alias("span_match"),
         status.alias("status"),
     )
+
+    # ---- word-granular common-prefix fallback (utils.py:486-497) ----
+    gw, pw = F.split("g_slice", " "), F.split("p_slice", " ")
+    eqs = F.zip_with(gw, pw, lambda a, b: F.coalesce(a == b, F.lit(False)))
+    first_false = F.array_position(eqs, F.lit(False))  # 0 when all equal
+    kw = (
+        F.when(first_false > 0, first_false - 1)
+        .otherwise(F.least(F.size(gw), F.size(pw)))
+        .cast("int")
+    )
+    prefix = F.concat_ws(" ", F.slice(gw, 1, kw))
+    plen = F.length(prefix)
+    eligible = (
+        (F.col("status") == "UNALIGNED")
+        & F.col("g_slice").isNotNull()
+        & F.col("p_slice").isNotNull()
+        & (kw >= 1)
+    )
+    gz = F.col("g_entity") == 0
+    prefix_status = (
+        F.when((F.col("g_entity") == F.col("p_entity")) & gz, F.lit("CORRECTLY_IGNORED_O"))
+        .when(F.col("g_entity") == F.col("p_entity"),
+              F.lit("CORRECTLY_FOUND_BOTH_SPAN_AND_ANNOTATION"))
+        .when(~gz, F.lit("CORRECTLY_FOUND_SPAN_BUT_NOT_ANNOTATION"))
+        .otherwise(F.lit("OVER_GENERATED_ANNOTATION"))
+    )
+
+    def seg(b, e, gs, ps, sm, st):
+        # every member cast + aliased: array() requires the two branches'
+        # struct types (names AND types) to agree BEFORE the outer cast
+        return F.struct(
+            b.cast("int").alias("seg_begin"),
+            e.cast("int").alias("seg_end"),
+            F.col("g_entity").cast("int").alias("g_entity"),
+            F.col("p_entity").cast("int").alias("p_entity"),
+            gs.cast("string").alias("g_slice"),
+            ps.cast("string").alias("p_slice"),
+            sm.cast("boolean").alias("span_match"),
+            st.cast("string").alias("status"),
+        )
+
+    rest = lambda c: F.col(c).substr(plen + 2, F.length(c))  # noqa: E731
+    seg_schema = (
+        "array<struct<seg_begin:int,seg_end:int,g_entity:int,p_entity:int,"
+        "g_slice:string,p_slice:string,span_match:boolean,status:string>>"
+    )
+    rows = (
+        F.when(
+            eligible,
+            F.array(
+                seg(F.col("seg_begin"), F.col("seg_begin") + plen,
+                    prefix, prefix, F.lit(True), prefix_status),
+                seg(F.col("seg_begin") + plen + 1, F.col("seg_end"),
+                    rest("g_slice"), rest("p_slice"),
+                    F.lit(False), F.lit("UNALIGNED")),
+            ),
+        )
+        .otherwise(
+            F.array(
+                seg(F.col("seg_begin"), F.col("seg_end"), F.col("g_slice"),
+                    F.col("p_slice"), F.col("span_match"), F.col("status"))
+            )
+        )
+        .cast(seg_schema)  # cast pins struct field names (CASE members
+        # silently become col1/col2 otherwise)
+    )
+    return base.select("doc_id", F.explode(rows).alias("r")).select("doc_id", "r.*")
 
 
 def span_eval_from_alignment(segments: DataFrame) -> DataFrame:

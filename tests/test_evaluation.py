@@ -100,6 +100,48 @@ def test_align_statuses_and_metrics(spark):
     assert m.md_recall == pytest.approx(2 / 3)
 
 
+def test_align_word_prefix_fallback(spark):
+    """utils.py:486-497 ('re-alignment not helpful'): when no prefix of
+    the longer span's words reproduces the shorter span's string, the
+    reference walks both word lists in lockstep and emits the longest
+    pairwise-equal word prefix as an aligned pair — dropping the first
+    differing word — before continuing on the remainders.  Hand trace
+    for gold 'the naïve' vs pred 'the nai ve' (both spans over [0,9]):
+    the reference emits (['the'], ['the']) with the spans' entities and
+    leaves 'naïve'/'nai ve' divergent (its loop no longer terminates
+    there — utils.py:487 builds an empty phrase and re-advances by
+    zero), so the tail is reported UNALIGNED."""
+    gold = [(1, 0, 9, 5, "the naïve")]
+    pred = [(1, 0, 9, 5, "the nai ve")]
+    s = _segs(spark, gold, pred)
+    assert len(s) == 2
+    a = s[(1, 0, 3)]
+    assert (a.g_slice, a.p_slice) == ("the", "the")
+    assert a.span_match and a.status == "CORRECTLY_FOUND_BOTH_SPAN_AND_ANNOTATION"
+    b = s[(1, 4, 9)]
+    assert (b.g_slice, b.p_slice) == ("naïve", "nai ve")
+    assert not b.span_match and b.status == "UNALIGNED"
+
+    # multi-word equal prefix + differing entities -> SPAN_BUT_NOT_ANNOTATION
+    s2 = _segs(
+        spark,
+        [(1, 0, 12, 5, "aa bb cîty x")],
+        [(1, 0, 12, 9, "aa bb city x")],
+    )
+    a2 = s2[(1, 0, 5)]
+    assert (a2.g_slice, a2.p_slice) == ("aa bb", "aa bb")
+    assert a2.status == "CORRECTLY_FOUND_SPAN_BUT_NOT_ANNOTATION"
+    assert s2[(1, 6, 12)].status == "UNALIGNED"
+
+    # no shared first word -> no fallback, single UNALIGNED segment
+    s3 = _segs(spark, [(1, 0, 5, 5, "alpha")], [(1, 0, 5, 5, "gamma")])
+    assert len(s3) == 1 and s3[(1, 0, 5)].status == "UNALIGNED"
+
+    # O-entity prefix on both sides -> CORRECTLY_IGNORED_O
+    s4 = _segs(spark, [(1, 0, 9, 0, "the naïve")], [(1, 0, 9, 0, "the nai ve")])
+    assert s4[(1, 0, 3)].status == "CORRECTLY_IGNORED_O"
+
+
 def test_eval_gates_tp_on_span_match(spark):
     """Round-3 advice #2: a segment whose sliced surfaces mismatch
     (status UNALIGNED — the reference raises there) must never count as a
