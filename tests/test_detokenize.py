@@ -21,6 +21,28 @@ CASES = [
     ([], ""),
     (["one"], "one"),
     (['"', "a", '"', '"', "b", '"'], '"a" "b"'),  # quote parity resets
+    # ---- long-tail rules (round-3 verdict #6) ----
+    # PTB multi-char quotes: `` opens, '' closes
+    (["``", "quoted", "''", "here"], "``quoted'' here"),
+    (["he", "said", "``", "go", "''", "."], "he said ``go''."),
+    # unicode curly quotes, double and single families independent
+    (["“", "a", "”", "and", "‘", "b", "’"], "“a” and ‘b’"),
+    # low-9 German-style opening counts in the double family
+    (["„", "zitat", "”"], "„zitat”"),
+    # lone straight single quote alternates by parity
+    (["'", "a", "'", "'", "b", "'"], "'a' 'b'"),
+    # generalized apostrophe contractions (perl ^'[[:alpha:]])
+    (["they", "'d", "go"], "they'd go"),
+    (["rock", "'em", "hard"], "rock'em hard"),
+    (["'Twas", "night"], "'Twas night"),  # sentence-initial: no_space glue
+    # Spanish inverted marks attach right
+    (["¿", "qué", "?"], "¿qué?"),
+    (["¡", "hola", "!"], "¡hola!"),
+    # abbreviation periods: glued tokens pass through, lone '.' attaches
+    (["Mr.", "Smith", "of", "U.S."], "Mr. Smith of U.S."),
+    (["etc", ".", "and", "so", "on"], "etc. and so on"),
+    # families don't interfere: ' inside "..." stays a contraction
+    (['"', "it", "'s", "ok", '"'], '"it\'s ok"'),
 ]
 
 
@@ -31,7 +53,8 @@ def test_python_twin_hand_cases():
 
 def test_spark_matches_python_twin(spark):
     rng = random.Random(3)
-    vocab = ["word", ",", ".", '"', "(", ")", "'s", "n't", "$", "x", "!", "?"]
+    vocab = ["word", ",", ".", '"', "(", ")", "'s", "n't", "$", "x", "!", "?",
+             "``", "''", "“", "”", "'", "‘", "’", "`", "„", "¿", "'em", "Mr."]
     seqs = [w for w, _ in CASES] + [
         [rng.choice(vocab) for _ in range(rng.randint(0, 12))] for _ in range(200)
     ]
