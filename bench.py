@@ -251,6 +251,17 @@ def _run_calibration(threads: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _steal_probe(n: int = 20_000_000) -> float:
+    """Independent CPU-steal indicator: single-thread busy-loop ops/sec
+    measured in THIS process right around a scaling run.  On a quiet host
+    it is constant to a few %; during a hypervisor steal window it drops
+    with the stolen fraction — giving a measurement of contamination that
+    does not depend on the contaminated wall-time itself."""
+    t0 = time.time()
+    _burn(n)
+    return n / (time.time() - t0)
+
+
 def _run_scaling_level(path: str, threads: int, n_turns: int, mode: str = "fused") -> dict:
     """Run one parallelism level in a CPU-PINNED subprocess.
 
@@ -270,11 +281,19 @@ def _run_scaling_level(path: str, threads: int, n_turns: int, mode: str = "fused
     ]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{threads - 1}"] + cmd
+    pre = _steal_probe()
+    start_ts = time.strftime("%Y-%m-%dT%H:%M:%S")
     out = subprocess.run(
         cmd, capture_output=True, text=True, check=True,
         env={**os.environ, "SPEL_DRIVER_MEM": os.environ.get("SPEL_DRIVER_MEM", "24g")},
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    res.update({
+        "start_ts": start_ts,
+        "probe_pre_ops": round(pre),
+        "probe_post_ops": round(_steal_probe()),
+    })
+    return res
 
 
 def _run_level_main(threads: int, path: str, n_turns: int, mode: str = "fused") -> None:
@@ -375,10 +394,12 @@ SCALE_N = int(os.environ.get("SPEL_BENCH_N", "2"))
 def run_scaling() -> None:
     path = _prepare_scaling_cache(SCALING_TURNS)
     lo_threads, hi_threads = SCALE_N, SCALE_N * 4
-    # the sandbox VM has noticeable CPU-steal/page-cache noise: run each
-    # level twice, alternating order, and keep the best (standard noisy-
-    # host benching practice)
-    n_runs = int(os.environ.get("SPEL_BENCH_RUNS", "3"))
+    # the sandbox VM has noticeable CPU-steal/page-cache noise: reps are
+    # INTERLEAVED (L,H,L,H,...) so a steal window hits both levels, and
+    # each run carries an independent steal probe (busy-loop ops/sec
+    # before + after) so contaminated runs are identifiable by a stated
+    # rule rather than eyeballing walls (round-3 verdict #2)
+    n_runs = int(os.environ.get("SPEL_BENCH_RUNS", "5"))
     runs: dict[int, list] = {lo_threads: [], hi_threads: []}
     staged: dict[int, list] = {lo_threads: [], hi_threads: []}
     for _ in range(n_runs):
@@ -397,6 +418,7 @@ def run_scaling() -> None:
     }
     speedup = hi["turns_per_sec"] / lo["turns_per_sec"]
     eff = speedup / 4.0
+    dispersion = _dispersion_stats(runs[lo_threads], runs[hi_threads])
     result = {
         "metric": f"scaling_efficiency_{lo_threads}_to_{hi_threads}",
         "value": round(eff, 3),
@@ -406,6 +428,7 @@ def run_scaling() -> None:
         "high": hi,
         "speedup": round(speedup, 3),
         "run_walls": run_walls,
+        "dispersion": dispersion,
         "mentions_storage": os.environ.get(
             "SPEL_MENTIONS_STORAGE", "MEMORY_AND_DISK"
         ),
@@ -458,6 +481,60 @@ def run_scaling() -> None:
     _write_bench_md(result)
 
 
+STEAL_RULE = (
+    "a run is steal-contaminated when min(probe_pre, probe_post) < 0.8 x "
+    "the best probe observed at its level in this session; the probe is a "
+    "single-thread busy-loop ops/sec measured immediately before and "
+    "after the run, independent of the measured wall itself"
+)
+
+
+def _dispersion_stats(lo_runs: list, hi_runs: list) -> dict:
+    """Median + steal-filtered statistics over the interleaved reps, so
+    the >= 0.8 claim's robustness lives IN the artifact: eff_min is the
+    historic best-of-N headline, eff_median uses all walls, and
+    eff_median_clean applies the stated steal-exclusion rule (every run's
+    probe values and start timestamp are recorded for audit)."""
+    import statistics
+
+    def level(rs):
+        probes = [min(r.get("probe_pre_ops", 0), r.get("probe_post_ops", 0)) for r in rs]
+        best = max(probes) if probes else 0
+        clean = [
+            r for r, p in zip(rs, probes) if best == 0 or p >= 0.8 * best
+        ]
+        return {
+            "walls": sorted(r["wall_sec"] for r in rs),
+            "median_wall": round(statistics.median(r["wall_sec"] for r in rs), 1),
+            "clean_walls": sorted(r["wall_sec"] for r in clean),
+            "median_clean_wall": round(
+                statistics.median(r["wall_sec"] for r in clean), 1
+            ),
+            "runs": [
+                {
+                    "start_ts": r.get("start_ts"),
+                    "wall_sec": r["wall_sec"],
+                    "probe_pre_ops": r.get("probe_pre_ops"),
+                    "probe_post_ops": r.get("probe_post_ops"),
+                }
+                for r in rs
+            ],
+        }
+
+    lo, hi = level(lo_runs), level(hi_runs)
+    return {
+        "protocol": (
+            "interleaved reps (L,H,L,H,...); steal rule: " + STEAL_RULE
+        ),
+        "low": lo,
+        "high": hi,
+        "eff_median": round(lo["median_wall"] / hi["median_wall"] / 4.0, 3),
+        "eff_median_clean": round(
+            lo["median_clean_wall"] / hi["median_clean_wall"] / 4.0, 3
+        ),
+    }
+
+
 def _noise_md(r: dict) -> str:
     """Noise disclosure computed from THIS run's own repeats — never
     hardcoded host history (a report must describe its own provenance)."""
@@ -469,12 +546,31 @@ def _noise_md(r: dict) -> str:
     lo_spread = (rw["low"][-1] - rw["low"][0]) / rw["low"][0] * 100
     hi_spread = (rw["high"][-1] - rw["high"][0]) / rw["high"][0] * 100
     storage = r.get("mentions_storage", "MEMORY_AND_DISK")
-    return (
+    out = (
         f"Measurement noise (this run, best-of-{len(rw['low'])} per level): "
         f"N-level walls {rw['low']} s (spread {lo_spread:.0f}%), 4N-level "
         f"walls {rw['high']} s (spread {hi_spread:.0f}%); best of each level "
         f"is reported.  Mentions persist level: {storage}.\n\n"
     )
+    d = r.get("dispersion")
+    if d:
+        rows = "".join(
+            f"| {lvl} | {run['start_ts']} | {run['wall_sec']} | "
+            f"{run['probe_pre_ops']} | {run['probe_post_ops']} |\n"
+            for lvl, stats in (("N", d["low"]), ("4N", d["high"]))
+            for run in stats["runs"]
+        )
+        out += (
+            "## Dispersion protocol (every rep, timestamped)\n\n"
+            f"Reps are interleaved (L,H,L,H,...).  Steal rule: {STEAL_RULE}.\n\n"
+            "| level | start | wall (s) | probe pre (ops/s) | probe post |\n"
+            "|---|---|---|---|---|\n" + rows + "\n"
+            f"- efficiency from MIN walls (headline): **{r['value']}**\n"
+            f"- efficiency from MEDIAN walls (all reps): **{d['eff_median']}**\n"
+            f"- efficiency from MEDIAN of steal-clean reps: "
+            f"**{d['eff_median_clean']}**\n\n"
+        )
+    return out
 
 
 def _ceiling_md(r: dict) -> str:
