@@ -482,8 +482,9 @@ def run_scaling() -> None:
 
 
 STEAL_RULE = (
-    "a run is steal-contaminated when min(probe_pre, probe_post) < 0.8 x "
-    "the best probe observed at its level in this session; the probe is a "
+    "a run's probe score is min(probe_pre, probe_post); a run is "
+    "steal-contaminated when its probe score < 0.8 x the highest probe "
+    "score among its level's runs in this session; the probe is a "
     "single-thread busy-loop ops/sec measured immediately before and "
     "after the run, independent of the measured wall itself"
 )

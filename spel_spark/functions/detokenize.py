@@ -17,7 +17,10 @@ the word array — JVM-side, no UDF:
   perl ``$quoteCount`` state: the double-quote family is ``"``, PTB
   ``````/``''`` and the curly/low marks ``“ ” „``;
   the single-quote family is a lone ``'``, backtick and curly
-  ``‘ ’``.
+  ``‘ ’`` — except the English possessive: a lone ``'`` after a word
+  ending in ``s`` attaches left WITHOUT counting toward quote parity
+  (detokenizer.perl's ``$words[$i-1] =~ /[s]$/`` special case before
+  its $quoteCount branch: "the Jones ' house" -> "the Jones' house").
 
 Non-breaking prefixes (``Mr.``, ``U.S.`` …) are deliberately NOT a rule
 here: they exist only in the Moses TOKENIZER (deciding whether a period
@@ -52,17 +55,20 @@ def moses_detokenize_col(words: Column) -> Column:
         F.lit(True).alias("no_space"),  # no leading space before the first word
         F.lit(0).alias("dq"),
         F.lit(0).alias("sq"),
+        F.lit("").alias("prev"),  # previous token (possessive rule)
     )
 
     def step(acc, w):
         is_dq = w.isin(_DQ)
-        is_sq = w.isin(_SQ)
+        possessive = (w == "'") & acc["prev"].rlike("[sS]$")
+        is_sq = w.isin(_SQ) & ~possessive  # possessive ' skips quote parity
         dq_open = is_dq & (F.pmod(acc["dq"], F.lit(2)) == 0)
         sq_open = is_sq & (F.pmod(acc["sq"], F.lit(2)) == 0)
         attach_left = (
             w.rlike(_ATTACH_LEFT_RE)
             | (w.rlike(_CONTRACTION_RE) & ~is_sq)
             | w.isin(_NT)
+            | possessive
             | (is_dq & ~dq_open)
             | (is_sq & ~sq_open)
         )
@@ -76,6 +82,7 @@ def moses_detokenize_col(words: Column) -> Column:
             new_no_space.alias("no_space"),
             (acc["dq"] + is_dq.cast("int")).alias("dq"),
             (acc["sq"] + is_sq.cast("int")).alias("sq"),
+            w.alias("prev"),
         )
 
     return F.aggregate(words, init, step, lambda acc: acc["text"])
@@ -97,15 +104,18 @@ def moses_detokenize_py(words: list[str]) -> str:
     text = ""
     no_space = True
     dq = sq = 0
+    prev = ""
     for w in words:
         is_dq = w in _PY_DQ
-        is_sq = w in _PY_SQ
+        possessive = w == "'" and bool(prev) and prev[-1] in "sS"
+        is_sq = w in _PY_SQ and not possessive
         dq_open = is_dq and dq % 2 == 0
         sq_open = is_sq and sq % 2 == 0
         attach_left = (
             bool(_PY_LEFT.match(w))
             or (bool(_PY_CONTR.match(w)) and not is_sq)
             or w in _PY_NT
+            or possessive
             or (is_dq and not dq_open)
             or (is_sq and not sq_open)
         )
@@ -113,4 +123,5 @@ def moses_detokenize_py(words: list[str]) -> str:
         no_space = bool(_PY_RIGHT.match(w)) or dq_open or sq_open
         dq += int(is_dq)
         sq += int(is_sq)
+        prev = w
     return text

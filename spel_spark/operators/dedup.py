@@ -8,6 +8,13 @@ HOFs, bit ops); no Python on the hot path.
 SimHash: 64 per-bit sign sums over token hashes -> one BIGINT; candidate
 pairs via 4x16-bit band equality; verified by popcount(xor) <= max_hamming
 (F.bit_count is JVM-side).
+
+Empty/whitespace-only documents: tokenization drops ""-tokens (they hash
+to one constant that biases every signature the same way), so a document
+with NO content tokens gets NO signature row and can never near-dup pair —
+it stays a singleton in cluster_documents (the doc-table left join keeps
+every doc_id).  Content-free duplicates are exact-dedup's job
+(queries.dedup_exact groups on the raw text), not similarity's.
 """
 
 from __future__ import annotations

@@ -266,6 +266,11 @@ def span_align_resegment(gold: DataFrame, pred: DataFrame) -> DataFrame:
         & F.col("g_slice").isNotNull()
         & F.col("p_slice").isNotNull()
         & (kw >= 1)
+        # F.split keeps ""-tokens (boundary-adjacent spaces in a partial
+        # slice), and the reference's whitespace word lists can never
+        # contain an empty word — a prefix with no visible text must not
+        # become a zero-width ALIGNED segment scoring a phantom tp
+        & (F.length(F.trim(prefix)) > 0)
     )
     gz = F.col("g_entity") == 0
     prefix_status = (

@@ -61,26 +61,71 @@ def _write_epoch(df: DataFrame, path: str, epoch: int) -> None:
     )
 
 
-def _read_prev(spark: SparkSession, path: str, epoch: int) -> DataFrame | None:
+def _with_epoch(schema) -> "object":
+    from pyspark.sql.types import IntegerType, StructType
+
+    full = StructType(list(schema.fields))
+    return full.add("epoch", IntegerType())
+
+
+def _read_state(spark: SparkSession, path: str, schema) -> DataFrame | None:
+    """Read a state table with its EXPLICIT schema (+ the epoch partition
+    column).  Explicit schemas matter twice: an epoch that produced zero
+    rows leaves a file-less partition dir that schema inference cannot
+    read, and inference would make 'empty' indistinguishable from
+    'broken'.
+
+    ONLY the path-missing case maps to None: any other failure (transient
+    IO, corrupt footer — these surface at action time under an explicit
+    schema) must FAIL the batch so the streaming checkpoint retries it —
+    treating it as empty state would silently drop every new-vs-old pair
+    of this epoch, and since a pair is only generated at the epoch its
+    later member first arrives, the edges would be missing forever
+    after."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(_with_epoch(schema)).parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
+
+
+def _read_prev(
+    spark: SparkSession, path: str, epoch: int, schema
+) -> DataFrame | None:
     """All rows committed by epochs < ``epoch`` (None when the table does
     not exist yet).  Excluding the current epoch makes a retried epoch
     deterministic: its own partial partition is never an input."""
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
-        return None
-    return df.filter(F.col("epoch") < epoch)
+    df = _read_state(spark, path, schema)
+    return None if df is None else df.filter(F.col("epoch") < epoch)
 
 
-def _read_latest(spark: SparkSession, path: str, epoch: int) -> DataFrame | None:
+def _read_latest(
+    spark: SparkSession, path: str, epoch: int, schema
+) -> DataFrame | None:
     """The most recent snapshot strictly before ``epoch``."""
-    df = _read_prev(spark, path, epoch)
+    df = _read_prev(spark, path, epoch, schema)
     if df is None:
         return None
     mx = df.agg(F.max("epoch")).collect()[0][0]
     if mx is None:
         return None
     return df.filter(F.col("epoch") == mx).drop("epoch")
+
+
+# fixed state-table schemas (epoch partition column added at read time)
+SURFACES_SCHEMA = "norm_surface string, n_mentions bigint, min_mention_id bigint"
+BLOCKS_SCHEMA = "surface_id bigint, norm_surface string, block_key string"
+EDGES_SCHEMA = "a_id bigint, b_id bigint"
+COMPONENTS_SCHEMA = "node bigint, component bigint"
+
+
+def _st(ddl: str):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromDDL(ddl)
 
 
 def merge_batch(
@@ -104,7 +149,9 @@ def merge_batch(
     _write_epoch(m, _path(state_dir, "mentions"), epoch)
 
     batch_surf = surface_nodes(m)
-    prev_surf = _read_latest(spark, _path(state_dir, "surfaces"), epoch)
+    prev_surf = _read_latest(
+        spark, _path(state_dir, "surfaces"), epoch, _st(SURFACES_SCHEMA)
+    )
     if prev_surf is None:
         merged_surf = batch_surf
         new_surf = batch_surf
@@ -136,7 +183,9 @@ def merge_batch(
         "surface_id", "norm_surface", "block_key"
     ).persist()
     _write_epoch(new_blocks, _path(state_dir, "blocks"), epoch)
-    prev_blocks = _read_prev(spark, _path(state_dir, "blocks"), epoch)
+    prev_blocks = _read_prev(
+        spark, _path(state_dir, "blocks"), epoch, _st(BLOCKS_SCHEMA)
+    )
     all_blocks = new_blocks.select("surface_id", "block_key")
     if prev_blocks is not None:
         all_blocks = all_blocks.unionByName(
@@ -168,9 +217,20 @@ def merge_batch(
     )
     new_edges = threshold_edges(score_pairs(pairs), threshold).select("a_id", "b_id")
     _write_epoch(new_edges, _path(state_dir, "edges"), epoch)
+    # read the committed bytes back: scoring (the Jaro-Winkler pandas UDF
+    # over every salted candidate pair — the flow's most expensive stage)
+    # must run ONCE per epoch, not re-execute for CC's backend-selection
+    # count and again for the edge collect
+    new_edges = (
+        _read_state(spark, _path(state_dir, "edges"), _st(EDGES_SCHEMA))
+        .filter(F.col("epoch") == epoch)
+        .drop("epoch")
+    )
 
     # CC delta rounds: previous components re-enter as star edges
-    prev_comp = _read_latest(spark, _path(state_dir, "components"), epoch)
+    prev_comp = _read_latest(
+        spark, _path(state_dir, "components"), epoch, _st(COMPONENTS_SCHEMA)
+    )
     cc_in = new_edges
     if prev_comp is not None:
         cc_in = cc_in.unionByName(
@@ -181,13 +241,20 @@ def merge_batch(
     comps = connected_components(cc_in)
     _write_epoch(comps, _path(state_dir, "components"), epoch)
 
-    prev_m = _read_prev(spark, _path(state_dir, "mentions"), epoch)
+    prev_m = _read_prev(spark, _path(state_dir, "mentions"), epoch, m.schema)
     all_mentions = m if prev_m is None else prev_m.drop("epoch").unionByName(m)
     clusters = assign_clusters(all_mentions, merged_surf, comps)
     _write_epoch(clusters, _path(state_dir, "clusters"), epoch)
+    # hand back the committed snapshot — a caller action must not re-run
+    # the assignment joins
+    out = (
+        _read_state(spark, _path(state_dir, "clusters"), clusters.schema)
+        .filter(F.col("epoch") == epoch)
+        .drop("epoch")
+    )
     for df in (m, merged_surf, new_blocks):
         df.unpersist()
-    return clusters
+    return out
 
 
 def read_clusters(spark: SparkSession, state_dir: str) -> DataFrame:

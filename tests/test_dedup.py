@@ -71,6 +71,20 @@ def test_multi_space_tokenization_drops_empty_tokens(spark):
     assert mh == {(1, 2): 1.0, (1, 3): 1.0, (2, 3): 1.0}
 
 
+def test_content_free_docs_stay_singletons(spark):
+    """Documents with no content tokens ('' or whitespace-only) emit no
+    signature row BY DESIGN: they never near-dup pair (similarity over an
+    empty token set is meaningless — exact dedup owns content-free
+    duplicates), and no downstream consumer loses them because cluster
+    assignment left-joins the doc table (singleton fallback)."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real content here")],
+        "doc_id long, text string",
+    )
+    assert simhash64(docs).count() == 1  # only doc 3
+    assert minhash_near_dup_pairs(docs, jaccard_threshold=0.8).count() == 0
+
+
 def test_simhash_degenerate_band_matches_naive(spark):
     """Skew gate: 400 near-identical docs (27 shared tokens, 1 unique) land
     in shared 16-bit band buckets — the worst case the salted candidate

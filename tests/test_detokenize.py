@@ -43,6 +43,10 @@ CASES = [
     (["etc", ".", "and", "so", "on"], "etc. and so on"),
     # families don't interfere: ' inside "..." stays a contraction
     (['"', "it", "'s", "ok", '"'], '"it\'s ok"'),
+    # EN possessive: lone ' after s-final word attaches left and does NOT
+    # count toward single-quote parity (detokenizer.perl special case)
+    (["the", "Jones", "'", "house"], "the Jones' house"),
+    (["Jones", "'", "then", "'", "q", "'"], "Jones' then 'q'"),
 ]
 
 
@@ -54,7 +58,8 @@ def test_python_twin_hand_cases():
 def test_spark_matches_python_twin(spark):
     rng = random.Random(3)
     vocab = ["word", ",", ".", '"', "(", ")", "'s", "n't", "$", "x", "!", "?",
-             "``", "''", "“", "”", "'", "‘", "’", "`", "„", "¿", "'em", "Mr."]
+             "``", "''", "“", "”", "'", "‘", "’", "`", "„", "¿", "'em", "Mr.",
+             "Jones", "cats"]
     seqs = [w for w, _ in CASES] + [
         [rng.choice(vocab) for _ in range(rng.randint(0, 12))] for _ in range(200)
     ]

@@ -137,6 +137,12 @@ def test_align_word_prefix_fallback(spark):
     s3 = _segs(spark, [(1, 0, 5, 5, "alpha")], [(1, 0, 5, 5, "gamma")])
     assert len(s3) == 1 and s3[(1, 0, 5)].status == "UNALIGNED"
 
+    # an empty shared "word" (F.split keeps ''-tokens when both slices
+    # start with a space) must NOT become a zero-width aligned segment
+    # scoring a phantom tp — the reference's word lists never contain ''
+    s5 = _segs(spark, [(1, 0, 4, 1, " abc")], [(1, 0, 4, 1, " xyz")])
+    assert len(s5) == 1 and s5[(1, 0, 4)].status == "UNALIGNED"
+
     # O-entity prefix on both sides -> CORRECTLY_IGNORED_O
     s4 = _segs(spark, [(1, 0, 9, 0, "the naïve")], [(1, 0, 9, 0, "the nai ve")])
     assert s4[(1, 0, 3)].status == "CORRECTLY_IGNORED_O"

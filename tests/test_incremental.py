@@ -69,6 +69,25 @@ def test_incremental_epoch_retry_is_idempotent(spark, corpus, tmp_path):
     assert _cluster_map(read_clusters(spark, state)) == first
 
 
+def test_corrupt_state_fails_batch_instead_of_resetting(spark, corpus, tmp_path):
+    """A state table that EXISTS but cannot be read must raise (so the
+    streaming checkpoint retries the batch) — mapping it to 'no state'
+    would silently drop this epoch's new-vs-old pairs forever."""
+    import pytest
+
+    state = str(tmp_path / "state_bad")
+    pdf = corpus.transcripts.head(200)
+    merge_batch(spark, _mentions(spark, pdf.iloc[:100]), state, epoch=0)
+    # replace the blocks table with an unreadable non-parquet file
+    import shutil
+
+    shutil.rmtree(f"{state}/blocks")
+    with open(f"{state}/blocks", "w") as f:
+        f.write("not parquet")
+    with pytest.raises(Exception):
+        merge_batch(spark, _mentions(spark, pdf.iloc[100:]), state, epoch=1)
+
+
 def test_streaming_incremental_er_matches_batch(spark, corpus, tmp_path):
     """End-to-end through foreachBatch: two availableNow drains sharing a
     checkpoint (two separate epochs — one drain would coalesce the files
