@@ -419,9 +419,16 @@ def run_scaling() -> None:
     speedup = hi["turns_per_sec"] / lo["turns_per_sec"]
     eff = speedup / 4.0
     dispersion = _dispersion_stats(runs[lo_threads], runs[hi_threads])
+    # HEADLINE = median-of-interleaved-reps efficiency: pairing the min
+    # walls across levels is not robust in EITHER direction (one lucky
+    # rep at one level skews the ratio; observed both ways on this
+    # steal-noisy VM).  The min-pairing and steal-clean-median values
+    # ride along so the artifact shows all three.
     result = {
         "metric": f"scaling_efficiency_{lo_threads}_to_{hi_threads}",
-        "value": round(eff, 3),
+        "value": dispersion["eff_median"],
+        "value_min_pairing": round(eff, 3),
+        "value_median_clean": dispersion["eff_median_clean"],
         "unit": "ratio",
         "n_turns": SCALING_TURNS,
         "low": lo,
@@ -566,10 +573,13 @@ def _noise_md(r: dict) -> str:
             f"Reps are interleaved (L,H,L,H,...).  Steal rule: {STEAL_RULE}.\n\n"
             "| level | start | wall (s) | probe pre (ops/s) | probe post |\n"
             "|---|---|---|---|---|\n" + rows + "\n"
-            f"- efficiency from MIN walls (headline): **{r['value']}**\n"
-            f"- efficiency from MEDIAN walls (all reps): **{d['eff_median']}**\n"
+            f"- efficiency from MEDIAN walls, all reps (headline): "
+            f"**{d['eff_median']}**\n"
             f"- efficiency from MEDIAN of steal-clean reps: "
-            f"**{d['eff_median_clean']}**\n\n"
+            f"**{d['eff_median_clean']}**\n"
+            f"- efficiency from best-rep min pairing (not robust — a "
+            f"single lucky rep at either level skews it): "
+            f"**{r.get('value_min_pairing', 'n/a')}**\n\n"
         )
     return out
 
@@ -638,8 +648,12 @@ def _write_bench_md(r: dict) -> None:
             "| level | wall (s) | turns/sec |\n|---|---|---|\n"
             f"| local[{lo_t}] (N) | {r['low']['wall_sec']} | {r['low']['turns_per_sec']} |\n"
             f"| local[{hi_t}] (4N) | {r['high']['wall_sec']} | {r['high']['turns_per_sec']} |\n\n"
-            f"speedup {lo_t}->{hi_t}: **{r['speedup']}x**;  scaling "
-            f"efficiency (speedup/4): **{r['value']}** (target >= 0.8)\n\n"
+            f"best-rep speedup {lo_t}->{hi_t}: **{r['speedup']}x**;  scaling "
+            f"efficiency: **{r['value']}** (target >= 0.8; MEDIAN of "
+            "interleaved reps — the headline estimator, robust to a lucky "
+            "or unlucky single rep at either level; min-pairing "
+            f"{r.get('value_min_pairing', 'n/a')}, steal-clean median "
+            f"{r.get('value_median_clean', 'n/a')})\n\n"
             + _noise_md(r)
             + _ceiling_md(r) + _stage_md(r) +
             f"Why N={lo_t}: a multiprocessing probe shows this sandbox VM "
