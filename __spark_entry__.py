@@ -14,9 +14,12 @@ pipeline, Jaro-Winkler) have no DuckDB twin and are exported rows-only,
 as is ``ep1_flagship`` — the reference's composed batch-evaluation
 lifecycle over the real AIDA testc gold.  The SAME composed lifecycle is
 oracle-checked end to end as ``ep1_flagship_portable`` (builtin corpus,
-md5-seeded corruption, full stage-by-stage DuckDB twin), and the IVF ANN
-path as ``ann_ivf_topk`` (literal centroids); only k-means training
-itself stays rows-only (``ann_ivf_kmeans``).
+md5-seeded corruption, full stage-by-stage DuckDB twin), the COMPLETE
+record-linkage chain as ``er_clusters_portable`` (blocking -> salted
+pairs -> blended scoring -> CC -> assignment), the SimHash dedup chain
+as ``simhash_dedup_portable``, and the IVF ANN path as ``ann_ivf_topk``
+(literal centroids); only k-means training itself stays rows-only
+(``ann_ivf_kmeans``).
 """
 
 from __future__ import annotations

@@ -595,6 +595,69 @@ FROM b GROUP BY doc_id
 """
 
 
+def q_simhash_dedup_portable(spark, sf_dir):
+    """The SimHash near-dup CHAIN (not just the signature) with a DuckDB
+    twin: portable 32-bit md5 simhash -> 4x8-bit band candidates (a < b,
+    deduped across bands) -> popcount(xor) verify at max_hamming 4
+    (the engine's 8/64 rate on the 32-bit signature).  The engine path
+    (operators/dedup.simhash_candidate_pairs, 64-bit xxhash64 + salted
+    band join) stays rows-only as simhash_dedup."""
+    sig = q_simhash_signature(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash32",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{j}:"),
+                        F.shiftright(F.col("simhash32"), j * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .cast("string"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash32").alias("sh_a"), "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash32").alias("sh_b"), "band"
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 4)
+        .select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+SQL_SIMHASH_DEDUP_PORTABLE = f"""
+WITH sig AS ({SQL_SIMHASH_SIGNATURE}),
+bands AS (
+  SELECT doc_id, simhash32,
+         unnest([
+           '0:' || ((simhash32 >> 0) & 255)::VARCHAR,
+           '1:' || ((simhash32 >> 8) & 255)::VARCHAR,
+           '2:' || ((simhash32 >> 16) & 255)::VARCHAR,
+           '3:' || ((simhash32 >> 24) & 255)::VARCHAR]) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                  a.simhash32 AS sh_a, b.simhash32 AS sh_b
+  FROM bands a JOIN bands b USING (band)
+  WHERE a.doc_id < b.doc_id)
+SELECT a_id, b_id, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 4
+"""
+
+
 def _sql_shingles(expr):
     return (
         f"list_distinct(list_transform(range(1, greatest(length({expr}) - 2, 1) + 1), "
@@ -1630,6 +1693,185 @@ FROM cl
 
 
 # --------------------------------------------------------------------------
+# composed ER flagship, portable: the COMPLETE record-linkage chain
+# (normalize -> 3-family blocking -> pairs -> full blended scoring ->
+# threshold+gate -> connected components -> cluster assignment) with a
+# DuckDB twin — the ER analogue of doc_clusters_portable
+# --------------------------------------------------------------------------
+
+_ER_THRESHOLD_SCALED = 65_000_000  # 0.65 on the x1e8 integer score scale
+_ER_GATE_LEV = 850_000             # lev >= 0.85 on the x1e6 feature scale
+
+
+def _scaled6(col):
+    """floor(x*1e6 + 0.5) as BIGINT — the cross-engine-exact feature
+    representation (Spark round is HALF_UP, Python HALF_EVEN, DuckDB
+    scale-multiplies; floor-scaling has ONE behavior in all three)."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def q_er_clusters_portable(spark, sf_dir):
+    """The full ER pipeline shape, oracle-checked end to end: mentions
+    (part rows) -> normalized surfaces -> surface nodes -> all THREE
+    blocking-key families (exact / first-token / md5-MinHash-LSH bands)
+    -> exact block pairs via the REAL salted self-join -> the REAL
+    blended scorer (jw/lev/jacc/shj/ftok at the shipped 40/15/10/15/20
+    weights) -> threshold + precision gate -> REAL connected components
+    -> min-mention-id cluster assignment with singleton fallback.
+
+    Engine operators are used wherever they are portable (salted_pairs,
+    score_pairs kernels, connected_components); the two engine-internal
+    substitutions are declared: surface ids are min-mention-ids instead
+    of xxhash64 (bit-identical semantics, DuckDB-reproducible) and the
+    LSH bands use the md5 minhash (MD5_SEEDS) instead of xxhash64 seeds.
+    Scoring comparisons happen on floor-scaled BIGINT features so the
+    threshold crossing is EXACT in both engines.
+
+    Output: (mention_id, cluster_id, cluster_size) for every part row.
+    """
+    from spel_spark.operators.blocking import salted_pairs
+    from spel_spark.operators.clustering import connected_components
+    from spel_spark.functions.similarity import (
+        array_jaccard,
+        jaro_winkler_udf,
+        levenshtein_sim,
+        shingles_col,
+        token_jaccard,
+    )
+
+    m = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("mention_id"),
+        norm_surface_col(F.col("p_name")).alias("norm_surface"),
+    )
+    surfaces = (
+        m.filter(F.length("norm_surface") > 0)
+        .groupBy("norm_surface")
+        .agg(F.min("mention_id").alias("surface_id"))
+    )
+    mh = _md5_minhash_cols(F.col("norm_surface"))
+    first_tok = F.split("norm_surface", " ").getItem(0)
+    keys = F.array(
+        F.concat(F.lit("k:"), F.col("norm_surface")),
+        F.concat(F.lit("f:"), first_tok),
+        F.concat(F.lit("b0:"), F.md5(F.concat(mh[0], mh[1]))),
+        F.concat(F.lit("b1:"), F.md5(F.concat(mh[2], mh[3]))),
+    )
+    blocks = surfaces.select(
+        "surface_id", "norm_surface", F.explode(keys).alias("block_key")
+    )
+    pairs = salted_pairs(blocks)
+    a, b = F.col("a_norm"), F.col("b_norm")
+    jwS = _scaled6(jaro_winkler_udf(a, b))
+    levS = _scaled6(levenshtein_sim(a, b))
+    jaccS = _scaled6(token_jaccard(a, b))
+    shjS = _scaled6(array_jaccard(shingles_col(a), shingles_col(b)))
+    ftokS = F.when(
+        F.split(a, " ").getItem(0) == F.split(b, " ").getItem(0), F.lit(1_000_000)
+    ).otherwise(F.lit(0)).cast("long")
+    scored = pairs.select(
+        "a_id", "b_id",
+        (40 * jwS + 15 * levS + 10 * jaccS + 15 * shjS + 20 * ftokS).alias("scoreS"),
+        levS.alias("levS"),
+        ftokS.alias("ftokS"),
+    )
+    edges = scored.filter(
+        (F.col("scoreS") >= _ER_THRESHOLD_SCALED)
+        & ((F.col("ftokS") == 1_000_000) | (F.col("levS") >= _ER_GATE_LEV))
+    ).select("a_id", "b_id")
+    comps = connected_components(edges)
+    surf_cluster = (
+        surfaces.join(comps, surfaces["surface_id"] == comps["node"], "left")
+        .withColumn("cluster_id", F.coalesce("component", "surface_id"))
+        .select("norm_surface", "cluster_id")
+    )
+    assigned = (
+        m.join(surf_cluster, "norm_surface", "left")
+        .select(
+            "mention_id",
+            F.coalesce("cluster_id", "mention_id").alias("cluster_id"),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return assigned.join(sizes, "cluster_id").select(
+        "mention_id", "cluster_id", "cluster_size"
+    )
+
+
+def _er_portable_sql() -> str:
+    sh = (
+        "list_distinct(list_transform(range(1, greatest(length({c}) - 2, 1) + 1), "
+        "i -> substr({c}, i::int, 3)))"
+    )
+    jacc = (
+        "CASE WHEN len(list_distinct(list_concat({x}, {y}))) > 0 "
+        "THEN len(list_intersect({x}, {y}))::DOUBLE "
+        "/ len(list_distinct(list_concat({x}, {y}))) ELSE 0.0 END"
+    )
+    return f"""
+WITH RECURSIVE
+n AS (SELECT p_partkey AS mention_id, {norm_surface_sql('p_name')} AS norm_surface
+      FROM part),
+s AS (SELECT norm_surface, min(mention_id) AS sid FROM n
+      WHERE length(norm_surface) > 0 GROUP BY 1),
+mh AS (SELECT norm_surface, sid,
+  list_min(list_transform({sh.format(c='norm_surface')}, g -> md5('s1' || g))) AS m0,
+  list_min(list_transform({sh.format(c='norm_surface')}, g -> md5('s2' || g))) AS m1,
+  list_min(list_transform({sh.format(c='norm_surface')}, g -> md5('s3' || g))) AS m2,
+  list_min(list_transform({sh.format(c='norm_surface')}, g -> md5('s4' || g))) AS m3
+ FROM s),
+keys AS (
+  SELECT sid, 'k:' || norm_surface AS bk FROM s
+  UNION ALL SELECT sid, 'f:' || string_split(norm_surface, ' ')[1] FROM s
+  UNION ALL SELECT sid, 'b0:' || md5(m0 || m1) FROM mh
+  UNION ALL SELECT sid, 'b1:' || md5(m2 || m3) FROM mh),
+pr AS (SELECT DISTINCT a.sid AS a_id, b.sid AS b_id
+       FROM keys a JOIN keys b USING (bk) WHERE a.sid < b.sid),
+pn AS (SELECT pr.a_id, pr.b_id, sa.norm_surface AS a_norm, sb.norm_surface AS b_norm
+       FROM pr JOIN s sa ON sa.sid = pr.a_id JOIN s sb ON sb.sid = pr.b_id),
+feat AS (
+  SELECT a_id, b_id,
+    CAST(floor((CASE WHEN a_norm = '' AND b_norm = '' THEN 1.0
+         ELSE jaro_winkler_similarity(a_norm, b_norm) END) * 1e6 + 0.5) AS BIGINT) AS jwS,
+    CAST(floor((CASE WHEN greatest(length(a_norm), length(b_norm)) > 0
+         THEN 1.0 - levenshtein(a_norm, b_norm)::DOUBLE
+              / greatest(length(a_norm), length(b_norm))
+         ELSE 1.0 END) * 1e6 + 0.5) AS BIGINT) AS levS,
+    CAST(floor(({jacc.format(x="list_distinct(string_split(a_norm, ' '))",
+                             y="list_distinct(string_split(b_norm, ' '))")}) * 1e6 + 0.5)
+         AS BIGINT) AS jaccS,
+    CAST(floor(({jacc.format(x=sh.format(c='a_norm'), y=sh.format(c='b_norm'))})
+         * 1e6 + 0.5) AS BIGINT) AS shjS,
+    CASE WHEN string_split(a_norm, ' ')[1] = string_split(b_norm, ' ')[1]
+         THEN 1000000 ELSE 0 END AS ftokS
+  FROM pn),
+edges AS (
+  SELECT a_id, b_id
+  FROM feat
+  WHERE 40 * jwS + 15 * levS + 10 * jaccS + 15 * shjS + 20 * ftokS
+        >= {_ER_THRESHOLD_SCALED}
+    AND (ftokS = 1000000 OR levS >= {_ER_GATE_LEV})),
+sym AS (SELECT a_id AS a, b_id AS b FROM edges
+        UNION SELECT b_id, a_id FROM edges),
+reach(a, b) AS (
+  SELECT sid, sid FROM s
+  UNION
+  SELECT r.a, y.b FROM reach r JOIN sym y ON r.b = y.a),
+cl AS (SELECT a AS sid, min(b) AS cluster_id FROM reach GROUP BY a),
+assigned AS (
+  SELECT n.mention_id,
+         coalesce(cl.cluster_id, n.mention_id) AS cluster_id
+  FROM n LEFT JOIN s ON s.norm_surface = n.norm_surface
+         LEFT JOIN cl ON cl.sid = s.sid)
+SELECT mention_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM assigned
+"""
+
+
+SQL_ER_CLUSTERS_PORTABLE = _er_portable_sql()
+
+
+# --------------------------------------------------------------------------
 # engine-path pair generation (rows-only: xxhash64 ids have no DuckDB twin)
 # --------------------------------------------------------------------------
 
@@ -1700,6 +1942,7 @@ CATALOG: dict[str, tuple] = {
     "punct_tokens": (q_punct_tokens, SQL_PUNCT_TOKENS),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "simhash_signature": (q_simhash_signature, SQL_SIMHASH_SIGNATURE),
+    "simhash_dedup_portable": (q_simhash_dedup_portable, SQL_SIMHASH_DEDUP_PORTABLE),
     "lsh_band_keys": (q_lsh_band_keys, SQL_LSH_BAND_KEYS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -1719,4 +1962,5 @@ CATALOG: dict[str, tuple] = {
     "candidate_rerank": (q_candidate_rerank, SQL_CANDIDATE_RERANK),
     "subword_eval": (q_subword_eval, SQL_SUBWORD_EVAL),
     "ep1_flagship_portable": (q_ep1_flagship_portable, SQL_EP1_FLAGSHIP_PORTABLE),
+    "er_clusters_portable": (q_er_clusters_portable, SQL_ER_CLUSTERS_PORTABLE),
 }

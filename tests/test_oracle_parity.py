@@ -45,6 +45,18 @@ def test_catalog_matches_duckdb(spark, ddb, name):
     assert got == want, name
 
 
+def test_er_clusters_portable_is_discriminative(spark):
+    """The composed ER oracle must actually cluster — more than one
+    cluster (not everything merged) and fewer clusters than surfaces
+    (some merging happened); a degenerate all-or-nothing result would
+    make the parity check vacuous."""
+    df = Q.CATALOG["er_clusters_portable"][0](spark, SF).toPandas()
+    n_clusters = df["cluster_id"].nunique()
+    n_surfaces = 64  # driver part table: 8 adjectives x 8 nouns
+    assert 1 < n_clusters < n_surfaces
+    assert df["cluster_size"].max() > 1
+
+
 def test_entry_runs(spark):
     import __spark_entry__ as E
 
