@@ -1703,6 +1703,43 @@ _ER_THRESHOLD_SCALED = 65_000_000  # 0.65 on the x1e8 integer score scale
 _ER_GATE_LEV = 850_000             # lev >= 0.85 on the x1e6 feature scale
 
 
+def _er_portable_mentions_surfaces(spark, sf_dir):
+    """(mentions, surface nodes) for the portable ER queries: part rows
+    as mentions; surface_id = min mention id (the DuckDB-reproducible
+    stand-in for the engine's xxhash64 surface hash — identical
+    semantics, stable, unique per surface)."""
+    m = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("mention_id"),
+        norm_surface_col(F.col("p_name")).alias("norm_surface"),
+    )
+    surfaces = (
+        m.filter(F.length("norm_surface") > 0)
+        .groupBy("norm_surface")
+        .agg(
+            F.min("mention_id").alias("surface_id"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
+    return m, surfaces
+
+
+def _er_portable_blocks(surfaces):
+    """All three blocking-key families over surface nodes, md5-portable
+    (engine twin: blocking.blocking_keys with xxhash64 LSH seeds)."""
+    mh = _md5_minhash_cols(F.col("norm_surface"))
+    first_tok = F.split("norm_surface", " ").getItem(0)
+    keys = F.array(
+        F.concat(F.lit("k:"), F.col("norm_surface")),
+        F.concat(F.lit("f:"), first_tok),
+        F.concat(F.lit("b0:"), F.md5(F.concat(mh[0], mh[1]))),
+        F.concat(F.lit("b1:"), F.md5(F.concat(mh[2], mh[3]))),
+    )
+    return surfaces.select(
+        "surface_id", "norm_surface", "n_mentions",
+        F.explode(keys).alias("block_key"),
+    )
+
+
 def _scaled6(col):
     """floor(x*1e6 + 0.5) as BIGINT — the cross-engine-exact feature
     representation (Spark round is HALF_UP, Python HALF_EVEN, DuckDB
@@ -1739,26 +1776,8 @@ def q_er_clusters_portable(spark, sf_dir):
         token_jaccard,
     )
 
-    m = _t(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("mention_id"),
-        norm_surface_col(F.col("p_name")).alias("norm_surface"),
-    )
-    surfaces = (
-        m.filter(F.length("norm_surface") > 0)
-        .groupBy("norm_surface")
-        .agg(F.min("mention_id").alias("surface_id"))
-    )
-    mh = _md5_minhash_cols(F.col("norm_surface"))
-    first_tok = F.split("norm_surface", " ").getItem(0)
-    keys = F.array(
-        F.concat(F.lit("k:"), F.col("norm_surface")),
-        F.concat(F.lit("f:"), first_tok),
-        F.concat(F.lit("b0:"), F.md5(F.concat(mh[0], mh[1]))),
-        F.concat(F.lit("b1:"), F.md5(F.concat(mh[2], mh[3]))),
-    )
-    blocks = surfaces.select(
-        "surface_id", "norm_surface", F.explode(keys).alias("block_key")
-    )
+    m, surfaces = _er_portable_mentions_surfaces(spark, sf_dir)
+    blocks = _er_portable_blocks(surfaces)
     pairs = salted_pairs(blocks)
     a, b = F.col("a_norm"), F.col("b_norm")
     jwS = _scaled6(jaro_winkler_udf(a, b))
@@ -1797,21 +1816,21 @@ def q_er_clusters_portable(spark, sf_dir):
     )
 
 
-def _er_portable_sql() -> str:
-    sh = (
-        "list_distinct(list_transform(range(1, greatest(length({c}) - 2, 1) + 1), "
-        "i -> substr({c}, i::int, 3)))"
-    )
-    jacc = (
-        "CASE WHEN len(list_distinct(list_concat({x}, {y}))) > 0 "
-        "THEN len(list_intersect({x}, {y}))::DOUBLE "
-        "/ len(list_distinct(list_concat({x}, {y}))) ELSE 0.0 END"
-    )
+_SQL_SHINGLES_T = (
+    "list_distinct(list_transform(range(1, greatest(length({c}) - 2, 1) + 1), "
+    "i -> substr({c}, i::int, 3)))"
+)
+
+
+def _er_sql_prefix() -> str:
+    """Shared CTE chain of the portable ER queries: mentions -> surface
+    nodes (sid = min mention id, n_m = instance count) -> md5 minhash ->
+    the three blocking-key families."""
+    sh = _SQL_SHINGLES_T
     return f"""
-WITH RECURSIVE
 n AS (SELECT p_partkey AS mention_id, {norm_surface_sql('p_name')} AS norm_surface
       FROM part),
-s AS (SELECT norm_surface, min(mention_id) AS sid FROM n
+s AS (SELECT norm_surface, min(mention_id) AS sid, count(*) AS n_m FROM n
       WHERE length(norm_surface) > 0 GROUP BY 1),
 mh AS (SELECT norm_surface, sid,
   list_min(list_transform({sh.format(c='norm_surface')}, g -> md5('s1' || g))) AS m0,
@@ -1823,7 +1842,19 @@ keys AS (
   SELECT sid, 'k:' || norm_surface AS bk FROM s
   UNION ALL SELECT sid, 'f:' || string_split(norm_surface, ' ')[1] FROM s
   UNION ALL SELECT sid, 'b0:' || md5(m0 || m1) FROM mh
-  UNION ALL SELECT sid, 'b1:' || md5(m2 || m3) FROM mh),
+  UNION ALL SELECT sid, 'b1:' || md5(m2 || m3) FROM mh)"""
+
+
+def _er_portable_sql() -> str:
+    sh = _SQL_SHINGLES_T
+    jacc = (
+        "CASE WHEN len(list_distinct(list_concat({x}, {y}))) > 0 "
+        "THEN len(list_intersect({x}, {y}))::DOUBLE "
+        "/ len(list_distinct(list_concat({x}, {y}))) ELSE 0.0 END"
+    )
+    return f"""
+WITH RECURSIVE
+{_er_sql_prefix().lstrip()},
 pr AS (SELECT DISTINCT a.sid AS a_id, b.sid AS b_id
        FROM keys a JOIN keys b USING (bk) WHERE a.sid < b.sid),
 pn AS (SELECT pr.a_id, pr.b_id, sa.norm_surface AS a_norm, sb.norm_surface AS b_norm
@@ -1869,6 +1900,137 @@ FROM assigned
 
 
 SQL_ER_CLUSTERS_PORTABLE = _er_portable_sql()
+
+
+def q_er_anchor_pairs_portable(spark, sf_dir):
+    """The ENGINE's anchor-sparsified pair generation (the 100-TB scale
+    default, blocking.anchor_pairs), oracle-checked: blocks with more
+    than ``full_block_limit`` members pair every member with the
+    top-``n_anchors`` surfaces by (instance frequency DESC, surface_id)
+    — O(n·k) per block — while small blocks keep exact all-pairs; pairs
+    dedup across key families with the min block key.  Runs the REAL
+    operator (including its two-phase salted anchor election, proven
+    identical to the single-window election) over the portable md5 block
+    keys; DuckDB re-derives the election with one window."""
+    from spel_spark.operators.blocking import anchor_pairs
+
+    _, surfaces = _er_portable_mentions_surfaces(spark, sf_dir)
+    blocks = _er_portable_blocks(surfaces)
+    return anchor_pairs(blocks).select(
+        "a_id", "b_id", "a_norm", "b_norm", "block_key"
+    )
+
+
+SQL_ER_ANCHOR_PAIRS_PORTABLE = f"""
+WITH
+{_er_sql_prefix().lstrip()},
+counts AS (SELECT bk, count(*) AS n_members FROM keys GROUP BY bk),
+sized AS (
+  SELECT k.sid, k.bk, c.n_members, s.n_m
+  FROM keys k JOIN counts c USING (bk) JOIN s ON s.sid = k.sid
+  WHERE c.n_members > 1),
+small_pairs AS (
+  SELECT a.sid AS a_id, b.sid AS b_id, a.bk
+  FROM sized a JOIN sized b USING (bk)
+  WHERE a.n_members <= 8 AND a.sid < b.sid),
+anchors AS (
+  SELECT sid AS anchor_id, bk
+  FROM (SELECT sid, bk,
+               row_number() OVER (PARTITION BY bk ORDER BY n_m DESC, sid) AS rk
+        FROM sized WHERE n_members > 8)
+  WHERE rk <= 2),
+big_pairs AS (
+  SELECT least(m.sid, a.anchor_id) AS a_id,
+         greatest(m.sid, a.anchor_id) AS b_id, m.bk
+  FROM sized m JOIN anchors a USING (bk)
+  WHERE m.n_members > 8 AND m.sid <> a.anchor_id),
+un AS (SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs),
+ded AS (SELECT a_id, b_id, min(bk) AS block_key FROM un GROUP BY 1, 2)
+SELECT d.a_id, d.b_id, sa.norm_surface AS a_norm, sb.norm_surface AS b_norm,
+       d.block_key
+FROM ded d JOIN s sa ON sa.sid = d.a_id JOIN s sb ON sb.sid = d.b_id
+"""
+
+
+def q_er_block_f1_portable(spark, sf_dir):
+    """Per-block pairwise P/R/F1 over REAL ER blocks (closing the r3 gap
+    where the macro-F1 oracle used a stand-in events labeling): mention
+    pairs grouped by their noun block (2nd token of the normalized
+    surface), gold = co-clustered by the full portable ER chain
+    (q_er_clusters_portable), predicted = the naive first-token matcher.
+    Exercises metrics.pairwise_f1_by_block (the 'matched blocking key'
+    grouping of the north rule) on ER-derived data end to end; fp arises
+    where the naive matcher over-merges vs the chain, fn where band-key
+    merges cross first tokens."""
+    from spel_spark.operators.metrics import pairwise_f1_by_block
+
+    clusters = q_er_clusters_portable(spark, sf_dir).select(
+        "mention_id", "cluster_id"
+    )
+    m, _ = _er_portable_mentions_surfaces(spark, sf_dir)
+    toks = F.split("norm_surface", " ")
+    lab = m.join(clusters, "mention_id").select(
+        "mention_id",
+        "cluster_id",
+        F.element_at(toks, 1).alias("tok1"),
+        F.coalesce(F.element_at(toks, 2), F.element_at(toks, 1)).alias("tok2"),
+    )
+    a = lab.select(
+        F.col("mention_id").alias("a_id"), F.col("cluster_id").alias("a_cl"),
+        F.col("tok1").alias("a_t1"), F.col("tok2").alias("tok2"),
+    )
+    b = lab.select(
+        F.col("mention_id").alias("b_id"), F.col("cluster_id").alias("b_cl"),
+        F.col("tok1").alias("b_t1"), F.col("tok2").alias("tok2"),
+    )
+    resolved = (
+        a.join(b, "tok2")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("tok2").alias("block_key"),
+            (F.col("a_cl") == F.col("b_cl")).alias("same_entity"),
+            (F.col("a_t1") == F.col("b_t1")).alias("pred_same"),
+        )
+    )
+    out = pairwise_f1_by_block(resolved)
+    return out.select(
+        "block_key", "tp", "fp", "fn", "n_pairs",
+        _r6(F.col("precision")).alias("precision"),
+        _r6(F.col("recall")).alias("recall"),
+        _r6(F.col("f1")).alias("f1"),
+    )
+
+
+SQL_ER_BLOCK_F1_PORTABLE = f"""
+WITH clus AS ({SQL_ER_CLUSTERS_PORTABLE}),
+mm AS (SELECT p_partkey AS mention_id, {norm_surface_sql('p_name')} AS ns FROM part),
+lab AS (
+  SELECT mm.mention_id, c.cluster_id,
+         string_split(ns, ' ')[1] AS tok1,
+         coalesce(string_split(ns, ' ')[2], string_split(ns, ' ')[1]) AS tok2
+  FROM mm JOIN clus c USING (mention_id)),
+pairs AS (
+  SELECT a.tok2 AS block_key,
+         a.cluster_id = b.cluster_id AS g,
+         a.tok1 = b.tok1 AS p
+  FROM lab a JOIN lab b ON a.tok2 = b.tok2 AND a.mention_id < b.mention_id),
+per AS (
+  SELECT block_key,
+         CAST(sum(CASE WHEN g AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN NOT g AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN g AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY block_key)
+SELECT block_key, tp, fp, fn, n_pairs,
+  CAST(round(tp::DOUBLE / greatest(tp + fp, 1), 6) AS DOUBLE) AS precision,
+  CAST(round(tp::DOUBLE / greatest(tp + fn, 1), 6) AS DOUBLE) AS recall,
+  CAST(round(CASE WHEN tp::DOUBLE / greatest(tp + fp, 1)
+                   + tp::DOUBLE / greatest(tp + fn, 1) > 0
+    THEN 2 * (tp::DOUBLE / greatest(tp + fp, 1)) * (tp::DOUBLE / greatest(tp + fn, 1))
+         / (tp::DOUBLE / greatest(tp + fp, 1) + tp::DOUBLE / greatest(tp + fn, 1))
+    ELSE 0.0 END, 6) AS DOUBLE) AS f1
+FROM per
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1963,4 +2125,6 @@ CATALOG: dict[str, tuple] = {
     "subword_eval": (q_subword_eval, SQL_SUBWORD_EVAL),
     "ep1_flagship_portable": (q_ep1_flagship_portable, SQL_EP1_FLAGSHIP_PORTABLE),
     "er_clusters_portable": (q_er_clusters_portable, SQL_ER_CLUSTERS_PORTABLE),
+    "er_anchor_pairs_portable": (q_er_anchor_pairs_portable, SQL_ER_ANCHOR_PAIRS_PORTABLE),
+    "er_block_f1_portable": (q_er_block_f1_portable, SQL_ER_BLOCK_F1_PORTABLE),
 }
