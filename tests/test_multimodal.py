@@ -84,13 +84,67 @@ def test_video_frame_sample_real(spark):
 
 
 def test_audio_frame_sample(spark):
+    """Both audio paths: WAV rows (i % 6 == 1) run the REAL PCM decoder —
+    true duration from sample count, per-frame rms, sine physics
+    (rms = amp/sqrt(2), zcr = 2f/rate) — while fake-codec rows keep the
+    deterministic stub features."""
+    import math
+
     media = synthetic_media(spark, n=30)
     out = audio_frame_sample(media)
-    rows = out.collect()
+    rows = {r.media_id: r for r in out.collect()}
     assert len(rows) == media.filter("kind = 'audio'").count()
-    for r in rows:
-        assert r.n_frames == max(1, r.duration_ms // 1000)
-        assert len(r.feature) == 8
+    for mid, r in rows.items():
+        if mid % 2 == 1:  # real WAV sine: rate 8000, dur 1+i%3 s, amp 0.5
+            dur_s = 1 + mid % 3
+            freq = 220.0 * (1 + mid % 4)
+            assert r.duration_ms == 1000 * dur_s
+            assert r.n_frames == dur_s
+            assert len(r.feature) == 3 + dur_s
+            rms, zcr, peak = r.feature[:3]
+            assert abs(rms - 0.5 / math.sqrt(2)) < 0.01
+            assert abs(zcr - 2 * freq / 8000) < 0.01
+            assert 0.45 <= peak <= 0.5
+            for frame_rms in r.feature[3:]:
+                assert abs(frame_rms - rms) < 0.01
+        else:  # stub path unchanged
+            assert r.n_frames == max(1, r.duration_ms // 1000)
+            assert len(r.feature) == 8
+
+
+def test_wav_codec_roundtrip_and_downmix(spark):
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spel_spark.operators.multimodal import decode_wav, encode_wav
+
+    t = np.arange(8000) / 8000.0
+    x = 0.25 * np.sin(2 * np.pi * 440 * t)
+    got, rate = decode_wav(encode_wav(x, 8000))
+    assert rate == 8000 and len(got) == len(x)
+    assert np.max(np.abs(got - x)) < 1.5 / 32767  # 16-bit quantization
+
+    # stereo 8-bit: channels mean-downmix
+    l = (np.clip(np.sin(2 * np.pi * 10 * t[:800]), -1, 1) * 127 + 128).astype("u1")
+    r = np.full(800, 128, dtype="u1")
+    inter = np.empty(1600, dtype="u1")
+    inter[0::2], inter[1::2] = l, r
+    pcm = inter.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16,
+        1, 2, 8000, 8000 * 2, 2, 8, b"data", len(pcm),
+    )
+    mono, _ = decode_wav(hdr + pcm)
+    want = ((l.astype(float) - 128) / 128.0) / 2.0  # right channel is silence
+    assert np.max(np.abs(mono - want)) < 1e-6
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVEgarbage-without-chunks")
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio at all")
 
 
 def test_corrupt_payload_dropped_not_fatal(spark):

@@ -158,3 +158,30 @@ def test_candidate_rerank_broadcasts_zero_shuffle_on_preds(spark):
     out = candidate_rerank(preds, allow)
     assert scan_summary(out)["has_broadcast"]
     assert "EvalPython" not in physical_plan(out)
+
+
+def test_er_portable_chain_plans_are_arrow_only(spark, sf001_dir):
+    """The new composed ER oracle queries: no row-at-a-time Python
+    anywhere (the Jaro-Winkler pandas UDF is the only Python, Arrow-
+    batched), and the part scan prunes to the two consumed columns."""
+    from spel_spark.queries import (
+        q_er_anchor_pairs_portable,
+        q_er_block_f1_portable,
+        q_er_clusters_portable,
+    )
+
+    for q in (q_er_clusters_portable, q_er_anchor_pairs_portable,
+              q_er_block_f1_portable):
+        df = q(spark, sf001_dir)
+        assert_no_row_python(df)
+    s = scan_summary(q_er_clusters_portable(spark, sf001_dir))
+    assert any("p_partkey" in rs and "p_name" in rs for rs in s["read_schemas"])
+    assert all("p_brand" not in rs for rs in s["read_schemas"])  # pruned
+
+
+def test_simhash_dedup_portable_plan_is_jvm_only(spark, sf001_dir):
+    from spel_spark.plans import physical_plan
+    from spel_spark.queries import q_simhash_dedup_portable
+
+    plan = physical_plan(q_simhash_dedup_portable(spark, sf001_dir))
+    assert "EvalPython" not in plan  # pure builtins end to end
