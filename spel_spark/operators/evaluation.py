@@ -192,6 +192,7 @@ def ep1_evaluate(
     ttl_path: str | None = None,
     corrupt_every: int | None = None,
     portable_corruption: bool = False,
+    ignore_over_generated: bool = False,
 ) -> DataFrame:
     """The composed EP1 flagship: full reference evaluation lifecycle in
     one DAG.  Returns ONE row: gold_source, n_docs, n_gold_phrases,
@@ -225,7 +226,9 @@ def ep1_evaluate(
     gold_stream = stream(None).persist()
     pred_stream = gold_stream if corrupt_every is None else stream(corrupt_every).persist()
     segments = span_align_resegment(gold_stream, pred_stream)
-    metrics = span_eval_from_alignment(segments)
+    metrics = span_eval_from_alignment(
+        segments, ignore_over_generated=ignore_over_generated
+    )
     counts = (
         words.groupBy()
         .agg(F.countDistinct("doc_id").alias("n_docs"))

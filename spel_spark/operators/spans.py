@@ -323,11 +323,24 @@ def span_align_resegment(gold: DataFrame, pred: DataFrame) -> DataFrame:
     return base.select("doc_id", F.explode(rows).alias("r")).select("doc_id", "r.*")
 
 
-def span_eval_from_alignment(segments: DataFrame) -> DataFrame:
+def span_eval_from_alignment(
+    segments: DataFrame, ignore_over_generated: bool = False
+) -> DataFrame:
     """MD + EL micro P/R/F1 from aligned segments — the reference's set
     bookkeeping (src/spel/evaluate_local.py:98-109: g_ed/p_ed keyed by the
     predicted segment's char interval, g_el/p_el additionally by entity)
-    as ONE aggregation.  Returns one row:
+    as ONE aggregation.
+
+    ``ignore_over_generated`` mirrors the reference's evaluation mode
+    (utils.py:522-528): an OVER_GENERATED_ANNOTATION pair has its
+    prediction reset to O and is rescored CORRECTLY_IGNORED_O — spurious
+    predictions over gold-O text stop counting as false positives.  (The
+    reference's companion mode, ignore_predictions_outside_candidate_list
+    at utils.py:530-543, is this engine's ``candidate_rerank`` applied to
+    the predicted stream: both re-resolve to the best-ranked allowed
+    alternative, falling back to O.)
+
+    Returns one row:
     (md_tp, md_fp, md_fn, md_precision, md_recall, md_f1,
      el_tp, el_fp, el_fn, el_precision, el_recall, el_f1,
      n_unaligned_entities).
@@ -341,6 +354,13 @@ def span_eval_from_alignment(segments: DataFrame) -> DataFrame:
     ``n_unaligned_entities`` column surfaces how many such segments
     existed so a genuinely misaligned stream is visible in the output
     row rather than silently rescored."""
+    if ignore_over_generated:
+        og = F.col("status") == "OVER_GENERATED_ANNOTATION"
+        segments = segments.withColumn(
+            "p_entity", F.when(og, F.lit(0)).otherwise(F.col("p_entity"))
+        ).withColumn(
+            "status", F.when(og, F.lit("CORRECTLY_IGNORED_O")).otherwise(F.col("status"))
+        )
     g_in = F.col("g_entity") != 0
     p_in = F.col("p_entity") != 0
     aligned = F.col("span_match")

@@ -100,6 +100,37 @@ def test_align_statuses_and_metrics(spark):
     assert m.md_recall == pytest.approx(2 / 3)
 
 
+def test_ignore_over_generated_mode(spark):
+    """utils.py:522-528: with ignore_over_generated, a spurious prediction
+    over gold-O text is reset to O and rescored CORRECTLY_IGNORED_O —
+    it stops counting as an MD/EL false positive; everything else is
+    untouched."""
+    gold = [(1, 0, 3, 1, "abc"), (1, 4, 7, 0, "def"), (1, 8, 11, 2, "ghi")]
+    pred = [(1, 0, 3, 1, "abc"), (1, 4, 7, 9, "def"), (1, 8, 11, 0, "ghi")]
+    g = spark.createDataFrame(gold, SPAN_SCHEMA)
+    p = spark.createDataFrame(pred, SPAN_SCHEMA)
+    segs = span_align_resegment(g, p)
+    plain = span_eval_from_alignment(segs).collect()[0]
+    assert (plain.md_tp, plain.md_fp, plain.md_fn) == (1, 1, 1)
+    flag = span_eval_from_alignment(segs, ignore_over_generated=True).collect()[0]
+    assert (flag.md_tp, flag.md_fp, flag.md_fn) == (1, 0, 1)
+    assert (flag.el_tp, flag.el_fp, flag.el_fn) == (1, 0, 1)
+
+    # end to end: corrupted EP1 run — over-generations (O words flipped to
+    # entity 1) vanish from fp under the flag, recall side unchanged
+    r_plain = ep1_evaluate(
+        spark, ttl_path="/nonexistent.ttl", corrupt_every=5,
+        portable_corruption=True,
+    ).collect()[0]
+    r_flag = ep1_evaluate(
+        spark, ttl_path="/nonexistent.ttl", corrupt_every=5,
+        portable_corruption=True, ignore_over_generated=True,
+    ).collect()[0]
+    assert r_flag.md_fp < r_plain.md_fp
+    assert r_flag.md_fn == r_plain.md_fn
+    assert r_flag.md_f1 > r_plain.md_f1
+
+
 def test_align_word_prefix_fallback(spark):
     """utils.py:486-497 ('re-alignment not helpful'): when no prefix of
     the longer span's words reproduces the shorter span's string, the

@@ -108,3 +108,27 @@ def test_possessive_boundary_is_ascii(spark):
     df = spark.createDataFrame([(t,) for t in cases], "s string")
     col = [r.n for r in df.select(norm_surface_col(F.col("s")).alias("n")).collect()]
     assert py == sql == col, (py, sql, col)
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            ["word", "Jones", "cats", ",", ".", "!", '"', "'", "``", "''",
+             "(", ")", "$", "'s", "'em", "n't", "“", "”", "x9"]
+        ),
+        max_size=14,
+    )
+)
+def test_detokenize_py_invariants(words):
+    """Properties of the Moses-EN twin over arbitrary token sequences:
+    (1) every non-quote alphanumeric token survives verbatim, (2) the
+    output never has leading/double spaces, (3) length is bounded by the
+    space-joined input."""
+    from spel_spark.functions.detokenize import moses_detokenize_py
+
+    out = moses_detokenize_py(words)
+    assert "  " not in out and not out.startswith(" ")
+    assert len(out) <= len(" ".join(words))
+    for w in words:
+        if w.isalnum():
+            assert w in out
