@@ -901,6 +901,66 @@ SELECT q_id, nbr_id, rk, cos FROM r2 WHERE rk <= 5
 """
 
 
+# --- LSH ANN, portable: seeded hyperplanes are literals in both engines --
+
+_LSH_BITS = 16
+_LSH_BANDS = 4
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN, oracle-checked end to end: the seeded
+    hyperplanes (numpy PCG64(42), the operator's own quantizer) are
+    literal in BOTH engines, so sign-bit signatures, band bucketing, the
+    skew-salted candidate join and the exact-cosine re-rank are all
+    reproducible in DuckDB.  Completes the oracle-checked ANN family:
+    brute force + IVF + LSH."""
+    from spel_spark.operators.ann import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(e, q, k=5, n_bits=_LSH_BITS, bands=_LSH_BANDS, dim=_IVF_DIM)
+
+
+def _sql_lsh_ann() -> str:
+    from spel_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(_IVF_DIM, _LSH_BITS, seed=42)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_sql_ivf_centroid_list(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    r = _LSH_BITS // _LSH_BANDS
+    mask = (1 << r) - 1
+    band_exprs = ", ".join(
+        f"'{j}:' || (((sig >> {j * r}) & {mask}))::VARCHAR" for j in range(_LSH_BANDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, CAST({bit_terms} AS BIGINT) AS sig FROM e),
+bands AS (SELECT vec_id, v, unnest([{band_exprs}]) AS band FROM sig),
+cands AS (
+  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS nbr_id
+  FROM bands q JOIN bands n USING (band)
+  WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id),
+qv AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+nv AS (SELECT vec_id AS nbr_id, v AS nbr_v FROM e),
+s AS (SELECT c.q_id, c.nbr_id, list_cosine_similarity(q_v, nbr_v) AS cos_raw
+      FROM cands c JOIN qv USING (q_id) JOIN nv USING (nbr_id)),
+r2 AS (SELECT q_id, nbr_id,
+              row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_raw DESC, nbr_id) AS rk,
+              CAST(round(cos_raw, 6) AS DOUBLE) AS cos
+       FROM s)
+SELECT q_id, nbr_id, rk, cos FROM r2 WHERE rk <= 5
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_lsh_ann()
+
+
 def q_text_stats(spark, sf_dir):
     """Text quality scoring: token counts, uniqueness, mean token length,
     BPE-ish length estimate (ceil(chars/4))."""
@@ -2112,6 +2172,7 @@ CATALOG: dict[str, tuple] = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
