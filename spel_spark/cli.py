@@ -61,7 +61,15 @@ def _cmd_incremental(args: argparse.Namespace) -> int:
         threshold=args.threshold,
     )
     q.awaitTermination()
-    clusters = read_clusters(spark, args.state)
+    from pyspark.errors import AnalysisException
+
+    try:
+        clusters = read_clusters(spark, args.state)
+    except AnalysisException:
+        # zero batches drained AND no prior state: nothing was ever
+        # committed — report cleanly instead of a PATH_NOT_FOUND trace
+        print(f"no data processed; no cluster state at {args.state}/clusters")
+        return 0
     n = clusters.count()
     k = clusters.select("cluster_id").distinct().count()
     print(f"clusters: {n} mentions in {k} clusters -> {args.state}/clusters")

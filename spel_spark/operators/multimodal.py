@@ -215,6 +215,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         sz = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated chunk must stay a ValueError
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -259,9 +261,12 @@ def _audio_feature_vec(samples: np.ndarray, rate: int, frame_ms: int) -> tuple[n
     peak = float(np.max(np.abs(samples))) if n else 0.0
     flen = max(1, rate * frame_ms // 1000)
     n_frames = max(1, (n + flen - 1) // flen)
+    # empty slices (0-sample data chunk forced to 1 frame) are 0.0, not
+    # np.mean([]) = NaN silently poisoning downstream aggregations
     frame_rms = [
-        float(np.sqrt(np.mean(samples[i * flen : (i + 1) * flen] ** 2)))
+        float(np.sqrt(np.mean(sl**2))) if len(sl) else 0.0
         for i in range(n_frames)
+        for sl in [samples[i * flen : (i + 1) * flen]]
     ]
     return (
         np.array([rms, zcr, peak] + frame_rms, dtype=np.float32),

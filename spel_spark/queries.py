@@ -1876,27 +1876,22 @@ def q_er_clusters_portable(spark, sf_dir):
     )
 
 
-_SQL_SHINGLES_T = (
-    "list_distinct(list_transform(range(1, greatest(length({c}) - 2, 1) + 1), "
-    "i -> substr({c}, i::int, 3)))"
-)
-
-
 def _er_sql_prefix() -> str:
     """Shared CTE chain of the portable ER queries: mentions -> surface
     nodes (sid = min mention id, n_m = instance count) -> md5 minhash ->
-    the three blocking-key families."""
-    sh = _SQL_SHINGLES_T
+    the three blocking-key families.  Shingle SQL comes from the single
+    _sql_shingles helper so every oracle stays byte-identical."""
+    sh = _sql_shingles("norm_surface")
     return f"""
 n AS (SELECT p_partkey AS mention_id, {norm_surface_sql('p_name')} AS norm_surface
       FROM part),
 s AS (SELECT norm_surface, min(mention_id) AS sid, count(*) AS n_m FROM n
       WHERE length(norm_surface) > 0 GROUP BY 1),
 mh AS (SELECT norm_surface, sid,
-  list_min(list_transform({sh.format(c='norm_surface')}, g -> md5('s1' || g))) AS m0,
-  list_min(list_transform({sh.format(c='norm_surface')}, g -> md5('s2' || g))) AS m1,
-  list_min(list_transform({sh.format(c='norm_surface')}, g -> md5('s3' || g))) AS m2,
-  list_min(list_transform({sh.format(c='norm_surface')}, g -> md5('s4' || g))) AS m3
+  list_min(list_transform({sh}, g -> md5('s1' || g))) AS m0,
+  list_min(list_transform({sh}, g -> md5('s2' || g))) AS m1,
+  list_min(list_transform({sh}, g -> md5('s3' || g))) AS m2,
+  list_min(list_transform({sh}, g -> md5('s4' || g))) AS m3
  FROM s),
 keys AS (
   SELECT sid, 'k:' || norm_surface AS bk FROM s
@@ -1906,7 +1901,6 @@ keys AS (
 
 
 def _er_portable_sql() -> str:
-    sh = _SQL_SHINGLES_T
     jacc = (
         "CASE WHEN len(list_distinct(list_concat({x}, {y}))) > 0 "
         "THEN len(list_intersect({x}, {y}))::DOUBLE "
@@ -1930,7 +1924,7 @@ feat AS (
     CAST(floor(({jacc.format(x="list_distinct(string_split(a_norm, ' '))",
                              y="list_distinct(string_split(b_norm, ' '))")}) * 1e6 + 0.5)
          AS BIGINT) AS jaccS,
-    CAST(floor(({jacc.format(x=sh.format(c='a_norm'), y=sh.format(c='b_norm'))})
+    CAST(floor(({jacc.format(x=_sql_shingles('a_norm'), y=_sql_shingles('b_norm'))})
          * 1e6 + 0.5) AS BIGINT) AS shjS,
     CASE WHEN string_split(a_norm, ' ')[1] = string_split(b_norm, ' ')[1]
          THEN 1000000 ELSE 0 END AS ftokS
@@ -2029,11 +2023,14 @@ def q_er_block_f1_portable(spark, sf_dir):
     )
     m, _ = _er_portable_mentions_surfaces(spark, sf_dir)
     toks = F.split("norm_surface", " ")
+    # F.get (0-based) returns NULL out of bounds; element_at THROWS under
+    # Spark 4's default ANSI mode for single-token surfaces, making a
+    # coalesce fallback unreachable dead code
     lab = m.join(clusters, "mention_id").select(
         "mention_id",
         "cluster_id",
-        F.element_at(toks, 1).alias("tok1"),
-        F.coalesce(F.element_at(toks, 2), F.element_at(toks, 1)).alias("tok2"),
+        F.get(toks, 0).alias("tok1"),
+        F.coalesce(F.get(toks, 1), F.get(toks, 0)).alias("tok2"),
     )
     a = lab.select(
         F.col("mention_id").alias("a_id"), F.col("cluster_id").alias("a_cl"),

@@ -145,6 +145,43 @@ def test_wav_codec_roundtrip_and_downmix(spark):
         decode_wav(b"RIFFxxxxWAVEgarbage-without-chunks")
     with pytest.raises(ValueError):
         decode_wav(b"not audio at all")
+    # truncated mid-fmt must be a ValueError (NOT struct.error escaping
+    # the per-row isolation in audio_frame_sample)
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav(x, 8000)[:30])
+
+
+def test_corrupt_and_empty_wav_rows_isolated(spark):
+    """One truncated WAV must not fail the job (row dropped), and a
+    structurally-valid WAV with a 0-byte data chunk must not emit NaN
+    features."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from spel_spark.operators.multimodal import encode_wav
+
+    good = encode_wav(0.5 * np.sin(np.arange(8000) / 8000.0 * 6.28), 8000)
+    truncated = good[:30]
+    empty_data = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36, b"WAVE", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16, b"data", 0,
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "audio", truncated, 0, 0, 1000, "wav"),
+            (2, "audio", good, 0, 0, 1000, "wav"),
+            (3, "audio", empty_data, 0, 0, 1000, "wav"),
+        ],
+        "media_id long, kind string, payload binary, width int, height int, "
+        "duration_ms int, codec string",
+    )
+    rows = {r.media_id: r for r in audio_frame_sample(media).collect()}
+    assert set(rows) == {2, 3}  # truncated row isolated, job survives
+    for r in rows.values():
+        assert all(not math.isnan(f) for f in r.feature), r
+    assert rows[3].duration_ms == 0 and rows[3].feature == [0.0, 0.0, 0.0, 0.0]
 
 
 def test_corrupt_payload_dropped_not_fatal(spark):
