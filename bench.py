@@ -555,10 +555,12 @@ def _noise_md(r: dict) -> str:
     hi_spread = (rw["high"][-1] - rw["high"][0]) / rw["high"][0] * 100
     storage = r.get("mentions_storage", "MEMORY_AND_DISK")
     out = (
-        f"Measurement noise (this run, best-of-{len(rw['low'])} per level): "
+        f"Measurement noise (this run, {len(rw['low'])} reps per level): "
         f"N-level walls {rw['low']} s (spread {lo_spread:.0f}%), 4N-level "
-        f"walls {rw['high']} s (spread {hi_spread:.0f}%); best of each level "
-        f"is reported.  Mentions persist level: {storage}.\n\n"
+        f"walls {rw['high']} s (spread {hi_spread:.0f}%); the HEADLINE "
+        f"efficiency is the median of the interleaved reps (dispersion "
+        f"table below) — per-level minima ride along for context only.  "
+        f"Mentions persist level: {storage}.\n\n"
     )
     d = r.get("dispersion")
     if d:
@@ -676,13 +678,19 @@ INCREMENTAL_TURNS = int(os.environ.get("SPEL_INC_TURNS", "2000000"))
 
 
 def run_incremental() -> None:
-    """Operational-mode evidence (BENCH/INCREMENTAL.json): merging a ~10%
-    delta of NEW conversations into existing cluster state
+    """Operational-mode evidence (BENCH/INCREMENTAL.json): merging NEW
+    conversations into existing cluster state
     (streaming/incremental.merge_batch) vs recomputing the world
     (run_pipeline, exact-pair config — the semantics the delta path
-    reproduces).  Reports both walls, the delta/full ratio, and an
-    order-insensitive engine-side checksum proving the incremental
-    result IS the batch result on the same corpus."""
+    reproduces).  Two delta fractions (~10% and ~1%) evidence that the
+    per-batch cost scales with the DELTA, not the corpus: the r4 path
+    re-emitted the full snapshot every epoch (O(total)); r5 emits a
+    clusters delta, so the commit wall must drop roughly with the delta
+    fraction.  The commit wall (state durably updated, manifest swapped)
+    is reported separately from the resolve wall (reading the full
+    merged view back — the consumer-side cost that compaction
+    amortizes).  An order-insensitive engine-side checksum proves the
+    incremental result IS the batch result on the same corpus."""
     import shutil
     import tempfile
 
@@ -702,8 +710,11 @@ def run_incremental() -> None:
         app_name="spel_inc_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
     )
     t = spark.read.parquet(os.path.join(path, "transcripts"))
-    is_delta = F.pmod(F.xxhash64("conv_id"), F.lit(10)) == 0
-    base, delta = t.filter(~is_delta), t.filter(is_delta)
+    # deterministic disjoint slices: ~89% bootstrap, ~10% delta, ~1% delta
+    slot = F.pmod(F.xxhash64("conv_id"), F.lit(100))
+    base = t.filter(slot >= 11)
+    d10 = t.filter((slot >= 1) & (slot < 11))
+    d1 = t.filter(slot < 1)
 
     def ments(df):
         return with_mention_id(with_norm_surface(extract_mentions(df)))
@@ -711,7 +722,7 @@ def run_incremental() -> None:
     state = tempfile.mkdtemp(prefix="spel_inc_bench_")
     shutil.rmtree(state)
     warm_python_workers(spark)
-    n_total, n_delta = t.count(), delta.count()
+    n_total, n_d10, n_d1 = t.count(), d10.count(), d1.count()
 
     def checksum(df):
         return df.agg(
@@ -719,13 +730,19 @@ def run_incremental() -> None:
         ).collect()[0]["h"]
 
     t0 = time.time()
-    merge_batch(spark, ments(base), state, 0).count()
+    merge_batch(spark, ments(base), state, 0)
     w_bootstrap = time.time() - t0
     spark.catalog.clearCache()
     t0 = time.time()
-    inc = merge_batch(spark, ments(delta), state, 1)
+    merge_batch(spark, ments(d10), state, 1)
+    w_d10 = time.time() - t0
+    spark.catalog.clearCache()
+    t0 = time.time()
+    inc = merge_batch(spark, ments(d1), state, 2)
+    w_d1 = time.time() - t0
+    t0 = time.time()
     n_inc = inc.count()
-    w_delta = time.time() - t0
+    w_resolve = time.time() - t0
     chk_inc = checksum(inc)
     spark.catalog.clearCache()
     t0 = time.time()
@@ -738,17 +755,23 @@ def run_incremental() -> None:
     out = {
         "metric": "incremental_delta_vs_full_recompute",
         "n_turns_total": n_total,
-        "n_turns_delta": n_delta,
+        "n_turns_delta_10pct": n_d10,
+        "n_turns_delta_1pct": n_d1,
         "bootstrap_wall_sec": round(w_bootstrap, 1),
-        "delta_merge_wall_sec": round(w_delta, 1),
+        "delta10_merge_wall_sec": round(w_d10, 1),
+        "delta1_merge_wall_sec": round(w_d1, 1),
+        "resolve_read_wall_sec": round(w_resolve, 1),
         "full_recompute_wall_sec": round(w_full, 1),
-        "delta_over_full_ratio": round(w_delta / w_full, 3),
+        "delta10_over_full_ratio": round(w_d10 / w_full, 3),
+        "delta1_over_full_ratio": round(w_d1 / w_full, 3),
         "clusters_rows": {"incremental": n_inc, "full": n_full},
         "checksum_match": bool(n_inc == n_full and chk_inc == chk_full),
         "note": (
-            "delta merge includes re-emitting the FULL cluster snapshot "
-            "(assignment join over all mentions); the avoided work is "
-            "extraction+blocking+scoring over pre-existing data"
+            "merge walls cover the durable state commit (delta clusters "
+            "write + manifest swap); resolve_read is the consumer-side "
+            "cost of reading the merged view back, bounded by "
+            "compact_every; the two delta fractions show per-batch cost "
+            "tracking the delta, not the corpus"
         ),
     }
     print(json.dumps(out))

@@ -149,15 +149,17 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(out, "node long, component long")
 
 
-def assign_clusters(
-    mentions: DataFrame, surfaces: DataFrame, components: DataFrame
-) -> DataFrame:
-    """mention -> cluster_id.
+def surface_clusters(surfaces: DataFrame, components: DataFrame) -> DataFrame:
+    """The (norm_surface -> cluster_id) mapping, computed entirely on the
+    tiny surface table (distinct surfaces, 5-6 orders of magnitude smaller
+    than the mention instance table).
 
     cluster label = component min surface_id (surfaces without edges are
     their own component); cluster_id is then canonicalized to
     min(mention_id) over the cluster (FIXTURES §5 gold form) so predicted
-    and gold ids share a canonical representation.
+    and gold ids share a canonical representation.  Factored out of
+    assign_clusters so the incremental path can DIFF two epochs' mappings
+    and re-assign only the surfaces whose cluster actually changed.
     """
     surf_comp = (
         surfaces.join(components, surfaces["surface_id"] == components["node"], "left")
@@ -165,22 +167,33 @@ def assign_clusters(
         .select("norm_surface", "component", "min_mention_id")
     )
     # canonical cluster id = min mention_id over the cluster (FIXTURES §5)
-    # computed entirely on the tiny surface table — the instance table is
-    # touched exactly once, by a broadcast join (zero shuffles of it)
     canon = surf_comp.groupBy("component").agg(
         F.min("min_mention_id").alias("cluster_id")
     )
-    surf_cluster = surf_comp.join(canon, "component").select(
-        "norm_surface", "cluster_id"
-    )
-    # no broadcast hint: Catalyst/AQE broadcasts while the surface table is
-    # small and falls back to sort-merge when it isn't (10^9-surface scale).
-    # LEFT join + singleton fallback: a mention whose surface normalizes to
-    # '' (punctuation/emoji-only) has no surface node — it becomes its own
-    # singleton cluster instead of silently vanishing, preserving the
-    # clusters.count() == mentions.count() invariant on real-world text.
+    return surf_comp.join(canon, "component").select("norm_surface", "cluster_id")
+
+
+def assign_mentions(mentions: DataFrame, surf_cluster: DataFrame) -> DataFrame:
+    """Project the surface->cluster mapping onto the mention instance
+    table: one join, touching the instance table exactly once.
+
+    no broadcast hint: Catalyst/AQE broadcasts while the surface table is
+    small and falls back to sort-merge when it isn't (10^9-surface scale).
+    LEFT join + singleton fallback: a mention whose surface normalizes to
+    '' (punctuation/emoji-only) has no surface node — it becomes its own
+    singleton cluster instead of silently vanishing, preserving the
+    clusters.count() == mentions.count() invariant on real-world text.
+    """
     return mentions.join(surf_cluster, "norm_surface", "left").select(
         "mention_id", "conv_id", "turn_idx", "begin_char", "end_char",
         "surface", "norm_surface",
         F.coalesce("cluster_id", "mention_id").alias("cluster_id"),
     )
+
+
+def assign_clusters(
+    mentions: DataFrame, surfaces: DataFrame, components: DataFrame
+) -> DataFrame:
+    """mention -> cluster_id (surface_clusters composed with
+    assign_mentions; see those for the scale rationale)."""
+    return assign_mentions(mentions, surface_clusters(surfaces, components))
