@@ -111,9 +111,174 @@ def _image_feature_vec(img: np.ndarray, grid: int = 4) -> np.ndarray:
     return np.concatenate([means, pooled]).astype(np.float32)
 
 
+# -- real codec: PNG (zlib inflate + unfilter), pure stdlib + numpy ---------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter_scanline(
+    ftype: int, line: bytes, prev: bytes, bpp: int
+) -> bytes:
+    """Reverse one scanline filter (PNG spec §9: None/Sub/Up/Average/
+    Paeth).  Sequential along x by definition — pure-python ints beat
+    numpy scalar indexing here; rows are independent of everything but
+    the previous row, so the per-row cost is the only serial part."""
+    n = len(line)
+    if ftype == 0:
+        return line
+    if ftype == 2:  # Up — fully vectorizable (uint8 wraps mod 256)
+        return (
+            np.frombuffer(line, np.uint8) + np.frombuffer(prev, np.uint8)
+        ).tobytes()
+    cur = bytearray(line)
+    if ftype == 1:  # Sub
+        for x in range(bpp, n):
+            cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+    elif ftype == 3:  # Average
+        for x in range(n):
+            left = cur[x - bpp] if x >= bpp else 0
+            cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for x in range(n):
+            a = cur[x - bpp] if x >= bpp else 0
+            c = prev[x - bpp] if x >= bpp else 0
+            cur[x] = (cur[x] + _paeth(a, prev[x], c)) & 0xFF
+    else:
+        raise ValueError(f"bad scanline filter type {ftype}")
+    return bytes(cur)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL decoder for 8-bit non-interlaced PNG (gray / gray+alpha /
+    RGB / RGBA): chunk walk with CRC verification, stdlib zlib inflate,
+    per-scanline unfilter — no image library.  Returns (h, w, channels)
+    uint8.  Palette, 16-bit, and Adam7-interlaced images raise ValueError
+    (corrupt-payload isolation path), as do truncated chunks and CRC
+    mismatches.  Production swaps this kernel for libpng/PIL; the Spark
+    plumbing around it is identical either way."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        body = payload[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8:
+        raise ValueError(f"unsupported bit depth {bit_depth} (8-bit only)")
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported color type {color_type} (no palette)")
+    if interlace:
+        raise ValueError("Adam7 interlacing unsupported")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("IDAT length does not match dimensions")
+    rows, prev = [], bytes(stride)
+    for y in range(h):
+        off = y * (stride + 1)
+        prev = _unfilter_scanline(raw[off], raw[off + 1 : off + 1 + stride], prev, channels)
+        rows.append(prev)
+    return np.frombuffer(b"".join(rows), np.uint8).reshape(h, w, channels)
+
+
+def _filter_scanline(ftype: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    """Forward filter (encoder side / test fixtures for every unfilter
+    branch)."""
+    n = len(line)
+    out = bytearray(n)
+    for x in range(n):
+        a = line[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: _paeth(a, b, c)}[ftype]
+        out[x] = (line[x] - pred) & 0xFF
+    return bytes(out)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Inverse of :func:`decode_png` (8-bit gray/gray+alpha/RGB/RGBA;
+    ``filter_type`` applies one PNG filter to every scanline so tests
+    can exercise each unfilter branch)."""
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    prev = bytes(w * ch)
+    filtered = []
+    for y in range(h):
+        line = img[y].tobytes()
+        filtered.append(bytes([filter_type]) + _filter_scanline(filter_type, line, prev, ch))
+        prev = line
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_to_rgb(img: np.ndarray) -> np.ndarray:
+    """Collapse decoded PNG channels to the (h, w, 3) shape the feature
+    kernel expects: gray broadcast to 3 channels, alpha dropped."""
+    ch = img.shape[2]
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 2:  # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]  # RGB stays; RGBA drops alpha
+
+
 def _decode_image_stub(payload: bytes, dim: int = 16) -> np.ndarray:
-    """STUB — replace with a real decoder (PIL/turbojpeg).  Raises for
-    payloads that do not carry the fake magic, mimicking codec errors."""
+    """STUB — replace with a real decoder (PIL/turbojpeg).  JPEG is the
+    one remaining stubbed image format (its entropy coding needs a
+    library this container lacks); PPM and PNG take the real decode
+    paths above.  Raises for empty payloads, mimicking codec errors."""
     if not payload:
         raise NotImplementedError(
             "real image decoding requires an image library absent from "
@@ -125,11 +290,12 @@ def _decode_image_stub(payload: bytes, dim: int = 16) -> np.ndarray:
 def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """Decode + feature-extract images via mapInPandas (Arrow batches).
 
-    PPM (P6) payloads get the REAL pipeline — decode -> resize ->
+    PPM (P6) and PNG payloads get the REAL pipeline — decode -> resize ->
     channel-mean + pooled-grayscale features, true width/height from the
-    header; other formats fall to the library-gated stub.  Real plumbing
-    either way: batch iterator in/out, per-row failure isolation (bad
-    payloads are dropped, not fatal — at 100 TB some blobs are corrupt).
+    header; other formats (JPEG) fall to the library-gated stub.  Real
+    plumbing either way: batch iterator in/out, per-row failure isolation
+    (bad payloads are dropped, not fatal — at 100 TB some blobs are
+    corrupt).
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,6 +308,10 @@ def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
                     raw = bytes(payload)
                     if raw.startswith(b"P6"):
                         img = decode_ppm(raw)
+                        feat = _image_feature_vec(img)
+                        h, w = img.shape[:2]
+                    elif raw.startswith(_PNG_SIG):
+                        img = _png_to_rgb(decode_png(raw))
                         feat = _image_feature_vec(img)
                         h, w = img.shape[:2]
                     else:
@@ -214,8 +384,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         cid = payload[pos : pos + 4]
         sz = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         body = payload[pos + 8 : pos + 8 + sz]
+        if cid in (b"fmt ", b"data") and len(body) != sz:
+            # a declared size past the payload end means a truncated blob;
+            # silently decoding the shorter slice would yield fewer samples
+            # and a wrong duration instead of hitting the per-row isolation
+            raise ValueError(f"truncated {cid.decode().strip()} chunk")
         if cid == b"fmt ":
-            if len(body) < 16:  # truncated chunk must stay a ValueError
+            if len(body) < 16:
                 raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
@@ -316,10 +491,11 @@ def audio_frame_sample(media: DataFrame, frame_ms: int = 1000, dim: int = 8) -> 
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests: images are REAL P6 PPM
-    payloads, videos are concatenated P6 frames, and every other audio
-    row is a REAL 16-bit PCM WAV sine (all three exercise the real codec
-    paths); the remaining audio rows stay opaque bytes (stub path)."""
+    """Deterministic fake media table for tests: images alternate REAL
+    P6 PPM and REAL PNG payloads (cycling the PNG filter types), videos
+    are concatenated P6 frames, and every other audio row is a REAL
+    16-bit PCM WAV sine (all exercising the real codec paths); the
+    remaining audio rows stay opaque bytes (stub path)."""
     rng = np.random.Generator(np.random.PCG64(seed))
     rows = []
     for i in range(n):
@@ -327,7 +503,10 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         w, h = 8 + i % 8, 6 + i % 6
         if kind == "image":
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload, codec = encode_ppm(img), "ppm"
+            if (i // 3) % 2 == 1:
+                payload, codec = encode_png(img, filter_type=(i // 6) % 5), "png"
+            else:
+                payload, codec = encode_ppm(img), "ppm"
         elif kind == "video":
             frames = [
                 encode_ppm(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
