@@ -18,8 +18,9 @@ md5-seeded corruption, full stage-by-stage DuckDB twin), the COMPLETE
 record-linkage chain as ``er_clusters_portable`` (blocking -> salted
 pairs -> blended scoring -> CC -> assignment), the SimHash dedup chain
 as ``simhash_dedup_portable``, and the IVF ANN path as ``ann_ivf_topk``
-(literal centroids); only k-means training itself stays rows-only
-(``ann_ivf_kmeans``).
+(literal centroids) plus ``ann_ivf_kmeans`` (the k-means-trained
+quantizer frozen as a shipped model artifact — operators/ivf_model.py —
+so both engines score identical literals).
 """
 
 from __future__ import annotations
@@ -109,22 +110,6 @@ def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_dedup_minhash_pairs(spark, sf_dir)
 
 
-def _q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with the TRAINED coarse quantizer (pyspark.ml KMeans, fixed
-    seed) — rows-only: k-means itself has no portable twin.  The same
-    operator with literal centroids is the oracle-checked catalog query
-    ``ann_ivf_topk`` (queries.q_ann_ivf_topk)."""
-    from pyspark.sql import functions as F
-
-    from spel_spark.operators.ann import ann_ivf_topk
-
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    q = e.filter(F.col("vec_id") < 10)
-    return ann_ivf_topk(e, q, k=5, nlist=8, nprobe=4, dim=64)
-
-
 def _q_ep1_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP1: the reference's full batch-evaluation lifecycle composed as one
     DAG (parse NIF gold -> punct_tokenize -> synthesized subword top-k ->
@@ -145,7 +130,6 @@ _ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pairs_engine": _q_pairs_engine,
     "pair_scores_engine": _q_pair_scores_engine,
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
-    "ann_ivf_kmeans": _q_ann_ivf_kmeans,
     "ep1_flagship": _q_ep1_flagship,
 }
 

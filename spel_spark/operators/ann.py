@@ -26,14 +26,19 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
 
 
 def _vec_dim(vecs: DataFrame, vec_col: str, dim: int | None) -> int:
-    """Resolve the embedding dimensionality WITHOUT running a job when the
-    caller supplies it.  Array schemas don't carry a length, so when ``dim``
-    is None the only option is a one-row probe — that triggers a small Spark
-    job during PLAN CONSTRUCTION, which is why every operator here threads
-    an explicit ``dim`` parameter through instead (round-3 verdict #2)."""
+    """Resolve the embedding dimensionality WITHOUT running a job: array
+    schemas don't carry a length, and the old ``.first()`` probe fallback
+    silently ran a Spark job during PLAN CONSTRUCTION (round-3 verdict #2;
+    removal is round-4 verdict #7).  ``dim`` is therefore required — the
+    caller always knows its embedding width, and a loud error beats a
+    hidden job on every plan build."""
     if dim is not None:
-        return dim
-    return len(vecs.select(vec_col).first()[0])
+        return int(dim)
+    raise ValueError(
+        f"embedding dimensionality is required: pass dim=<width of "
+        f"{vec_col!r}> explicitly (array schemas carry no length, and "
+        "probing a row would run a Spark job at plan-construction time)"
+    )
 
 
 def with_lsh_signature(

@@ -870,10 +870,13 @@ def _sql_ivf_centroid_list(c: list[float]) -> str:
 # exactly: score DESC, then cell index DESC on (impossible-in-float) ties.
 # Assignment argmax mirrors array_position(scores, array_max(scores)):
 # FIRST max wins in both engines (list_position is first-occurrence).
-SQL_ANN_IVF_TOPK = f"""
+def _sql_ivf_topk(centroids: list[list[float]], nprobe: int) -> str:
+    """DuckDB twin of ann_ivf_topk for any literal centroid set — shared
+    by the gaussian-literal variant and the frozen-k-means variant."""
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 scored AS (SELECT vec_id, v, [{", ".join(
-    f"list_dot_product(v, {_sql_ivf_centroid_list(c)})" for c in IVF_CENTROIDS
+    f"list_dot_product(v, {_sql_ivf_centroid_list(c)})" for c in centroids
 )}] AS cs FROM e),
 inv AS (SELECT vec_id AS nbr_id, v AS nbr_v,
                list_position(cs, list_max(cs)) - 1 AS cell
@@ -883,11 +886,11 @@ probe AS (
          row_number() OVER (
            PARTITION BY vec_id
            ORDER BY list_extract(cs, i + 1) DESC, i DESC) AS prk
-  FROM scored CROSS JOIN range(0, {_IVF_NLIST}) r(i)
+  FROM scored CROSS JOIN range(0, {len(centroids)}) r(i)
   WHERE vec_id < 10),
 cands AS (
   SELECT p.q_id, p.q_v, inv.nbr_id, inv.nbr_v
-  FROM (SELECT * FROM probe WHERE prk <= {_IVF_NPROBE}) p
+  FROM (SELECT * FROM probe WHERE prk <= {nprobe}) p
   JOIN inv USING (cell)
   WHERE inv.nbr_id <> p.q_id),
 s AS (SELECT q_id, nbr_id, list_cosine_similarity(q_v, nbr_v) AS cos_raw
@@ -899,6 +902,39 @@ r2 AS (SELECT q_id, nbr_id,
        FROM s)
 SELECT q_id, nbr_id, rk, cos FROM r2 WHERE rk <= 5
 """
+
+
+SQL_ANN_IVF_TOPK = _sql_ivf_topk(IVF_CENTROIDS, _IVF_NPROBE)
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with the TRAINED coarse quantizer — now fully
+    oracle-checked (round-4 verdict #4): the pyspark.ml k-means fit is
+    seeded and deterministic, so its centroids are frozen once as a
+    shipped model artifact (operators/ivf_model.py, provenance asserted
+    by tests/test_ann.py::test_frozen_kmeans_centroids_match_training)
+    and injected as identical literals into both engines — the FAISS
+    deployment shape: train offline, broadcast centroids at query
+    time."""
+    from spel_spark.operators.ann import ann_ivf_topk
+    from spel_spark.operators.ivf_model import KMEANS_CENTROIDS
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    return ann_ivf_topk(
+        e, q, k=5, nprobe=_IVF_NPROBE, centroids=KMEANS_CENTROIDS, dim=_IVF_DIM
+    )
+
+
+def _sql_ann_ivf_kmeans() -> str:
+    from spel_spark.operators.ivf_model import KMEANS_CENTROIDS
+
+    return _sql_ivf_topk(KMEANS_CENTROIDS, _IVF_NPROBE)
+
+
+SQL_ANN_IVF_KMEANS = _sql_ann_ivf_kmeans()
 
 
 # --- LSH ANN, portable: seeded hyperplanes are literals in both engines --
@@ -2169,6 +2205,7 @@ CATALOG: dict[str, tuple] = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),

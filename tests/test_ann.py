@@ -19,8 +19,8 @@ def vecs(spark):
 
 
 def test_lsh_signature_deterministic(spark, vecs):
-    a = {r.vec_id: r.lsh_sig for r in with_lsh_signature(vecs.limit(50)).collect()}
-    b = {r.vec_id: r.lsh_sig for r in with_lsh_signature(vecs.limit(50)).collect()}
+    a = {r.vec_id: r.lsh_sig for r in with_lsh_signature(vecs.limit(50), dim=64).collect()}
+    b = {r.vec_id: r.lsh_sig for r in with_lsh_signature(vecs.limit(50), dim=64).collect()}
     assert a == b
 
 
@@ -32,7 +32,7 @@ def test_lsh_topk_recall_vs_brute_force(spark, vecs):
     queries = vecs.filter(F.col("vec_id") < 10)
     lsh = {
         (r.q_id, r.nbr_id)
-        for r in ann_lsh_topk(vecs, queries, k=5, n_bits=16, bands=4).collect()
+        for r in ann_lsh_topk(vecs, queries, k=5, n_bits=16, bands=4, dim=64).collect()
     }
     recall = len(brute & lsh) / len(brute)
     assert recall >= 0.5, recall  # 4 bands x 4 bits on 64-dim embeddings
@@ -81,7 +81,7 @@ def test_lsh_band_join_carries_ids_only(spark, vecs):
     from spel_spark.plans import physical_plan
 
     queries = vecs.filter(F.col("vec_id") < 10)
-    plan = physical_plan(ann_lsh_topk(vecs, queries, k=5))
+    plan = physical_plan(ann_lsh_topk(vecs, queries, k=5, dim=64))
     agg_keys = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
     assert agg_keys, plan  # the candidate dedup must exist
     for keys in agg_keys:
@@ -199,3 +199,38 @@ def test_ivf_full_probe_equals_brute(spark, vecs):
         for r in ann_ivf_topk(vecs, queries, k=5, nprobe=4, centroids=cents).collect()
     }
     assert ivf == brute
+
+
+def test_missing_dim_raises_instead_of_probing(spark, vecs):
+    """Round-4 verdict #7: the .first() dimensionality-probe fallback ran
+    a hidden Spark job at plan-build time for bare calls — now a loud
+    ValueError naming the fix."""
+    from spel_spark.operators.ann import ivf_centroids
+
+    with pytest.raises(ValueError, match="dim"):
+        with_lsh_signature(vecs)
+    with pytest.raises(ValueError, match="dim"):
+        ann_lsh_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=3)
+    with pytest.raises(ValueError, match="dim"):
+        ivf_centroids(vecs, nlist=4, use_kmeans=False)
+
+
+def test_frozen_kmeans_centroids_match_training(spark):
+    """Provenance guard for the shipped IVF model artifact: re-running
+    the seeded pyspark.ml k-means fit on the training table reproduces
+    the frozen literals exactly (if a pyspark upgrade changes the fit,
+    this fails and the artifact gets re-frozen)."""
+    from spel_spark.operators.ann import ivf_centroids
+    from spel_spark.operators.ivf_model import (
+        KMEANS_CENTROIDS,
+        KMEANS_NLIST,
+        KMEANS_SEED,
+        KMEANS_TRAIN_SF_DIR,
+    )
+
+    e = (
+        spark.read.parquet(f"{KMEANS_TRAIN_SF_DIR}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    got = ivf_centroids(e, nlist=KMEANS_NLIST, seed=KMEANS_SEED)
+    assert got == KMEANS_CENTROIDS
