@@ -562,9 +562,13 @@ def q_simhash_signature(spark, sf_dir):
     """SimHash signature, portable 32-bit md5 variant (the engine's
     64-bit xxhash64 form is operators/dedup.py:simhash64, rows-only).
     Same sign-of-per-bit-weighted-sums operator, md5 token hashes so
-    Spark and DuckDB agree bit-for-bit."""
+    Spark and DuckDB agree bit-for-bit.  Empty tokens from space runs
+    are filtered on BOTH sides, mirroring the engine operator's token
+    semantics (r3 verdict #7 / r4 advice #2)."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
     h = toks.withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     )
@@ -586,7 +590,8 @@ def q_simhash_signature(spark, sf_dir):
 
 SQL_SIMHASH_SIGNATURE = """
 WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM t),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM t WHERE tok <> ''),
 b AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
       FROM h CROSS JOIN range(0, 32) r(i) GROUP BY doc_id, i)
 SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
