@@ -89,25 +89,47 @@ def run_headline() -> None:
     warm_python_workers(spark)
     _materialize(Q.q_tpch_q1(spark, SF_DIR))
 
-    # best-of-N per query, same protocol as --scaling: the sandbox VM has
-    # CPU-steal spikes that inflate a single heavy query 3x (measured:
-    # dedup_minhash_pairs 23-28 s standalone vs 95 s when a run lands on a
-    # steal window).  min-of-2 reports the machine's real capability.
+    # N runs per query with the SAME steal-probe instrumentation as
+    # --scaling (round-4 verdict #5): the sandbox VM has CPU-steal spikes
+    # that inflate a single heavy query 3x (measured: dedup_minhash_pairs
+    # 23-28 s standalone vs 95 s when a run lands on a steal window).  A
+    # busy-loop probe before+after each run gives a contamination signal
+    # independent of the contaminated wall itself; a run is
+    # steal-contaminated when min(probe_pre, probe_post) < 0.8x the best
+    # probe seen for that query.  The headline stays best-of-N (driver
+    # contract continuity); clean-best + per-run walls/probes ride along
+    # so a blip is either excluded by the rule or provably real.
     n_runs = int(os.environ.get("SPEL_HEADLINE_RUNS", "2"))
     times: dict[str, float] = {}
+    times_clean: dict[str, float] = {}
+    run_detail: dict[str, list] = {}
     for name, build in headline.items():
-        best = None
+        runs = []
         for _ in range(n_runs):
             # cold-start isolation: operators persist() intermediates that
             # are shared within one query but must not leak into the next
             # timing (a later query reusing an earlier query's cache ran
             # 2.4x "faster" while the earlier one paid eviction for both)
             spark.catalog.clearCache()
+            pre = _steal_probe(5_000_000)
             t0 = time.time()
             _materialize(build())
             wall = time.time() - t0
-            best = wall if best is None else min(best, wall)
-        times[name] = round(best, 3)
+            runs.append({
+                "wall_sec": round(wall, 3),
+                "probe_pre_ops": round(pre),
+                "probe_post_ops": round(_steal_probe(5_000_000)),
+            })
+        probes = [min(r["probe_pre_ops"], r["probe_post_ops"]) for r in runs]
+        best_probe = max(probes)
+        clean = [
+            r["wall_sec"]
+            for r, p in zip(runs, probes)
+            if best_probe == 0 or p >= 0.8 * best_probe
+        ] or [r["wall_sec"] for r in runs]
+        times[name] = round(min(r["wall_sec"] for r in runs), 3)
+        times_clean[name] = round(min(clean), 3)
+        run_detail[name] = runs
 
     total = round(sum(times.values()), 3)
     out = {
@@ -115,6 +137,15 @@ def run_headline() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_clean": times_clean,
+        "total_clean": round(sum(times_clean.values()), 3),
+        "steal_rule": (
+            "per query: run contaminated when min(probe_pre, probe_post) "
+            "< 0.8 x best probe among its runs; queries_clean restricts "
+            "best-of-N to uncontaminated runs (falls back to all runs if "
+            "none are clean)"
+        ),
+        "run_detail": run_detail,
         "sf": sf,
     }
     # attach the latest scaling-run evidence (north rule) if present, so the
@@ -428,6 +459,7 @@ def run_scaling() -> None:
         "metric": f"scaling_efficiency_{lo_threads}_to_{hi_threads}",
         "value": dispersion["eff_median"],
         "value_min_pairing": round(eff, 3),
+        "value_min_pairing_clean": dispersion["eff_min_clean"],
         "value_median_clean": dispersion["eff_median_clean"],
         "unit": "ratio",
         "n_turns": SCALING_TURNS,
@@ -533,12 +565,22 @@ def _dispersion_stats(lo_runs: list, hi_runs: list) -> dict:
     return {
         "protocol": (
             "interleaved reps (L,H,L,H,...); steal rule: " + STEAL_RULE
+            + "; HEADLINE ESTIMATOR: the median of all interleaved reps — "
+            "pinned because min-pairing is non-robust in BOTH directions "
+            "on a steal-noisy host (one lucky rep at either level skews "
+            "the ratio up or down); clean-median and clean-min pairings "
+            "are disclosed alongside for audit"
         ),
         "low": lo,
         "high": hi,
         "eff_median": round(lo["median_wall"] / hi["median_wall"] / 4.0, 3),
         "eff_median_clean": round(
             lo["median_clean_wall"] / hi["median_clean_wall"] / 4.0, 3
+        ),
+        # min pairing restricted to steal-clean reps: the most pessimistic
+        # defensible pairing (a contaminated rep can no longer drag it)
+        "eff_min_clean": round(
+            min(lo["clean_walls"]) / min(hi["clean_walls"]) / 4.0, 3
         ),
     }
 
@@ -579,9 +621,17 @@ def _noise_md(r: dict) -> str:
             f"**{d['eff_median']}**\n"
             f"- efficiency from MEDIAN of steal-clean reps: "
             f"**{d['eff_median_clean']}**\n"
-            f"- efficiency from best-rep min pairing (not robust — a "
-            f"single lucky rep at either level skews it): "
+            f"- efficiency from best-rep pairing of steal-CLEAN reps "
+            f"(most pessimistic defensible pairing): "
+            f"**{d.get('eff_min_clean', 'n/a')}**\n"
+            f"- efficiency from best-rep min pairing over ALL reps (not "
+            f"robust — a single lucky or contaminated rep at either "
+            f"level skews it both ways): "
             f"**{r.get('value_min_pairing', 'n/a')}**\n\n"
+            f"The headline is the all-reps MEDIAN (pinned estimator: "
+            f"robust to single-rep luck in either direction on a "
+            f"steal-noisy host); every raw wall and probe above makes the "
+            f"other estimators recomputable from this artifact.\n\n"
         )
     return out
 

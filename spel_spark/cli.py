@@ -61,15 +61,14 @@ def _cmd_incremental(args: argparse.Namespace) -> int:
         threshold=args.threshold,
     )
     q.awaitTermination()
-    from pyspark.errors import AnalysisException
+    import os
 
-    try:
-        clusters = read_clusters(spark, args.state)
-    except AnalysisException:
+    if not os.path.exists(os.path.join(args.state, "_LATEST")):
         # zero batches drained AND no prior state: nothing was ever
-        # committed — report cleanly instead of a PATH_NOT_FOUND trace
+        # committed — report cleanly instead of a no-manifest trace
         print(f"no data processed; no cluster state at {args.state}/clusters")
         return 0
+    clusters = read_clusters(spark, args.state)
     n = clusters.count()
     k = clusters.select("cluster_id").distinct().count()
     print(f"clusters: {n} mentions in {k} clusters -> {args.state}/clusters")
