@@ -120,15 +120,10 @@ def run_headline() -> None:
                 "probe_pre_ops": round(pre),
                 "probe_post_ops": round(_steal_probe(5_000_000)),
             })
-        probes = [min(r["probe_pre_ops"], r["probe_post_ops"]) for r in runs]
-        best_probe = max(probes)
-        clean = [
-            r["wall_sec"]
-            for r, p in zip(runs, probes)
-            if best_probe == 0 or p >= 0.8 * best_probe
-        ] or [r["wall_sec"] for r in runs]
         times[name] = round(min(r["wall_sec"] for r in runs), 3)
-        times_clean[name] = round(min(clean), 3)
+        times_clean[name] = round(
+            min(r["wall_sec"] for r in _clean_runs(runs)), 3
+        )
         run_detail[name] = runs
 
     total = round(sum(times.values()), 3)
@@ -529,6 +524,17 @@ STEAL_RULE = (
 )
 
 
+def _clean_runs(runs: list[dict]) -> list[dict]:
+    """THE steal-contamination filter (STEAL_RULE), shared by the scaling
+    dispersion and the headline bench so the two artifacts' 'clean' sets
+    can never diverge.  Operates on {wall_sec, probe_pre_ops,
+    probe_post_ops} run dicts; never empty for non-empty input (the run
+    with the best probe is clean by construction)."""
+    probes = [min(r.get("probe_pre_ops", 0), r.get("probe_post_ops", 0)) for r in runs]
+    best = max(probes) if probes else 0
+    return [r for r, p in zip(runs, probes) if best == 0 or p >= 0.8 * best]
+
+
 def _dispersion_stats(lo_runs: list, hi_runs: list) -> dict:
     """Median + steal-filtered statistics over the interleaved reps, so
     the >= 0.8 claim's robustness lives IN the artifact: eff_min is the
@@ -538,11 +544,7 @@ def _dispersion_stats(lo_runs: list, hi_runs: list) -> dict:
     import statistics
 
     def level(rs):
-        probes = [min(r.get("probe_pre_ops", 0), r.get("probe_post_ops", 0)) for r in rs]
-        best = max(probes) if probes else 0
-        clean = [
-            r for r, p in zip(rs, probes) if best == 0 or p >= 0.8 * best
-        ]
+        clean = _clean_runs(rs)
         return {
             "walls": sorted(r["wall_sec"] for r in rs),
             "median_wall": round(statistics.median(r["wall_sec"] for r in rs), 1),

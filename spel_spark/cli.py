@@ -12,8 +12,8 @@ Subcommands:
   run          full ER pipeline over a transcripts parquet/Iceberg path
                with checkpointed stages + resume (default) under --output
   incremental  merge new transcript files into existing cluster state
-               (streaming foreachBatch; the operational mode — a ~10%%
-               delta costs ~0.18x a full recompute, BENCH/INCREMENTAL.json)
+               (streaming foreachBatch; the operational O(delta) mode —
+               current delta-vs-recompute walls: BENCH/INCREMENTAL.json)
   lineage      print the lineage table of a checkpoint store
 """
 
@@ -61,14 +61,14 @@ def _cmd_incremental(args: argparse.Namespace) -> int:
         threshold=args.threshold,
     )
     q.awaitTermination()
-    import os
-
-    if not os.path.exists(os.path.join(args.state, "_LATEST")):
-        # zero batches drained AND no prior state: nothing was ever
-        # committed — report cleanly instead of a no-manifest trace
+    try:
+        clusters = read_clusters(spark, args.state)
+    except ValueError:
+        # zero batches drained AND no committed state (virgin dir, or
+        # only an uncommitted begin-record from a crashed first epoch):
+        # report cleanly instead of a trace
         print(f"no data processed; no cluster state at {args.state}/clusters")
         return 0
-    clusters = read_clusters(spark, args.state)
     n = clusters.count()
     k = clusters.select("cluster_id").distinct().count()
     print(f"clusters: {n} mentions in {k} clusters -> {args.state}/clusters")

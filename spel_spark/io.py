@@ -111,14 +111,17 @@ class CheckpointStore:
     # -- lineage ---------------------------------------------------------
     N_HIST_BUCKETS = 10
 
-    def append_lineage(
+    def lineage_frame(
         self,
         stage: str,
         df: DataFrame,
         extra: dict | None = None,
         score_col: str | None = None,
-    ) -> None:
-        """Append per-partition lineage rows for a committed stage.
+    ) -> DataFrame:
+        """The per-partition lineage rows for a stage, as a DataFrame
+        (callers choose the write discipline: append_lineage for batch
+        stages, per-epoch dynamic overwrite for retried streaming
+        epochs).
 
         Schema: stage, partition_id, rows, score_histogram ARRAY<BIGINT>,
         backend, wall_ts (float epoch seconds), extra JSON blob (SURVEY
@@ -140,7 +143,7 @@ class CheckpointStore:
             )
         else:
             hist = F.array().cast("array<bigint>")
-        per_part = (
+        return (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("rows"), hist.alias("score_histogram"))
             .withColumn("stage", F.lit(stage))
@@ -152,6 +155,17 @@ class CheckpointStore:
                 "backend", "wall_ts", "extra",
             )
         )
+
+    def append_lineage(
+        self,
+        stage: str,
+        df: DataFrame,
+        extra: dict | None = None,
+        score_col: str | None = None,
+    ) -> None:
+        """Append per-partition lineage rows for a committed stage (see
+        :meth:`lineage_frame` for the schema)."""
+        per_part = self.lineage_frame(stage, df, extra=extra, score_col=score_col)
         path = self._path("_lineage")
         per_part.write.mode("append").parquet(path)
 

@@ -72,6 +72,10 @@ def _parse_ppm(payload: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
+    if w < 1 or h < 1:
+        # a zero-dimension frame would crash feature extraction with an
+        # IndexError that escapes the per-row ValueError isolation
+        raise ValueError(f"degenerate PPM dimensions {w}x{h}")
     n = w * h * 3
     if len(payload) - pos < n:
         raise ValueError("truncated PPM payload")
@@ -190,6 +194,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("missing IHDR/IDAT chunk")
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
+    if w < 1 or h < 1:
+        # a zero-dimension image would crash feature extraction with an
+        # IndexError that escapes the per-row ValueError isolation
+        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
     if bit_depth != 8:
         raise ValueError(f"unsupported bit depth {bit_depth} (8-bit only)")

@@ -454,6 +454,7 @@ def merge_batch(
         .drop("epoch")
     )
     delta = assign_mentions(m, sc_new)
+    changed = None
     prev_sc = _read_snapshot(
         spark, _path(state_dir, "surf_clusters"), prev_epoch, _st(SURF_CLUSTERS_SCHEMA)
     )
@@ -488,7 +489,6 @@ def merge_batch(
                 )
             )
             delta = delta.unionByName(reassigned)
-        changed.unpersist()
 
     compacting = bool(prev_cluster_epochs) and (
         len(prev_cluster_epochs) + 1 > int(compact_every)
@@ -528,20 +528,29 @@ def merge_batch(
     if store is not None:
         # per-epoch lineage (north rule: per-partition rows + score
         # histograms) — every input here is committed or persisted, so the
-        # lineage aggregations are narrow scans, not stage re-runs
+        # lineage aggregations are narrow scans, not stage re-runs.  One
+        # dynamic-overwrite write per epoch: a RETRIED epoch replaces its
+        # own lineage partition instead of appending duplicate audit rows
+        # (state commits are effectively-once; the audit log must be too).
         extra = {"epoch": epoch}
-        store.append_lineage("inc_mentions", m, extra=extra)
-        store.append_lineage("inc_new_blocks", new_blocks, extra=extra)
-        store.append_lineage("inc_edges", new_edges, extra=extra, score_col="score")
         committed_delta = (
             _read_state(spark, _path(state_dir, "clusters"), _st(CLUSTERS_SCHEMA))
             .filter(F.col("epoch") == epoch)
         )
-        store.append_lineage(
-            "inc_clusters_full" if compacting else "inc_clusters_delta",
-            committed_delta,
-            extra=extra,
-        )
+        frames = [
+            store.lineage_frame("inc_mentions", m, extra=extra),
+            store.lineage_frame("inc_new_blocks", new_blocks, extra=extra),
+            store.lineage_frame("inc_edges", new_edges, extra=extra, score_col="score"),
+            store.lineage_frame(
+                "inc_clusters_full" if compacting else "inc_clusters_delta",
+                committed_delta,
+                extra=extra,
+            ),
+        ]
+        lin = frames[0]
+        for fr in frames[1:]:
+            lin = lin.unionByName(fr)
+        _write_epoch(lin, _path(state_dir, "_lineage"), epoch)
 
     # COMMIT: atomic manifest swap, then retention of everything the
     # current+previous manifests no longer reference (prev inputs stay one
@@ -564,8 +573,9 @@ def merge_batch(
         {int(e) for e in cluster_epochs} | {int(e) for e in prev_cluster_epochs},
     )
 
-    for df in (m, merged_surf, new_blocks):
-        df.unpersist()
+    for df in (m, merged_surf, new_blocks, changed):
+        if df is not None:
+            df.unpersist()
     return _resolve_clusters(spark, state_dir, cluster_epochs)
 
 

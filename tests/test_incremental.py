@@ -115,7 +115,7 @@ def test_streaming_incremental_er_matches_batch(spark, corpus, tmp_path):
 import json
 import os
 
-from spel_spark.streaming.incremental import _read_marker, merge_batch as _mb
+from spel_spark.streaming.incremental import _read_marker
 
 
 def _epoch_dirs(path):
@@ -258,3 +258,24 @@ def test_read_paths_run_no_job_at_plan_time(spark, corpus, tmp_path):
     finally:
         sc.setJobGroup("inc-read-plan-done", "reset")
     assert list(jobs) == [], jobs
+
+
+def test_lineage_retry_does_not_duplicate_rows(spark, corpus, tmp_path):
+    """State commits are effectively-once; the audit log must be too — a
+    retried epoch replaces its own lineage partition instead of
+    appending a duplicate set of rows."""
+    state = str(tmp_path / "state_lin_retry")
+    pdf = corpus.transcripts.head(300)
+    merge_batch(spark, _mentions(spark, pdf.iloc[:150]), state, epoch=0)
+    b1 = _mentions(spark, pdf.iloc[150:])
+    merge_batch(spark, b1, state, epoch=1)
+    first = sorted(
+        (r.stage, r.epoch, r.partition_id, r.rows)
+        for r in spark.read.parquet(f"{state}/_lineage").collect()
+    )
+    merge_batch(spark, b1, state, epoch=1)  # retry
+    retried = sorted(
+        (r.stage, r.epoch, r.partition_id, r.rows)
+        for r in spark.read.parquet(f"{state}/_lineage").collect()
+    )
+    assert retried == first

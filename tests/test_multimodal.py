@@ -318,3 +318,44 @@ def test_wav_oversized_data_chunk_rejected():
     # happily decode the shorter body — the size check must fire instead
     with pytest.raises(ValueError, match="truncated data"):
         decode_wav(good[:-10])
+
+
+def test_zero_dimension_images_isolated(spark):
+    """A CRC-valid PNG/PPM with h=0 or w=0 must be rejected as ValueError
+    (not crash feature extraction with an IndexError that escapes the
+    per-row isolation)."""
+    import zlib
+
+    import pytest
+
+    from spel_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    # hand-build a CRC-valid 0-height PNG (encode_png would need an array)
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (3).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    png0 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        decode_png(png0)
+    with pytest.raises(ValueError, match="degenerate"):
+        decode_ppm(b"P6\n0 0\n255\n")
+    rng = np.random.Generator(np.random.PCG64(7))
+    ok = encode_ppm(rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, "image", png0, 3, 0, 0, "png"), (2, "image", ok, 4, 4, 0, "ppm")],
+        MEDIA_SCHEMA,
+    )
+    rows = image_features(media).collect()
+    assert [r.media_id for r in rows] == [2]  # bad row isolated, job survives
