@@ -792,6 +792,13 @@ def run_incremental() -> None:
     t0 = time.time()
     inc = merge_batch(spark, ments(d1), state, 2)
     w_d1 = time.time() - t0
+    # per-epoch fixed floor: merging an EMPTY delta isolates the cost of
+    # state maintenance itself (snapshot reads/writes, manifest, lineage,
+    # job scheduling) from delta-proportional work
+    spark.catalog.clearCache()
+    t0 = time.time()
+    inc = merge_batch(spark, ments(t.filter(F.lit(False))), state, 3)
+    w_d0 = time.time() - t0
     t0 = time.time()
     n_inc = inc.count()
     w_resolve = time.time() - t0
@@ -812,6 +819,7 @@ def run_incremental() -> None:
         "bootstrap_wall_sec": round(w_bootstrap, 1),
         "delta10_merge_wall_sec": round(w_d10, 1),
         "delta1_merge_wall_sec": round(w_d1, 1),
+        "empty_delta_merge_wall_sec": round(w_d0, 1),
         "resolve_read_wall_sec": round(w_resolve, 1),
         "full_recompute_wall_sec": round(w_full, 1),
         "delta10_over_full_ratio": round(w_d10 / w_full, 3),
@@ -822,8 +830,11 @@ def run_incremental() -> None:
             "merge walls cover the durable state commit (delta clusters "
             "write + manifest swap); resolve_read is the consumer-side "
             "cost of reading the merged view back, bounded by "
-            "compact_every; the two delta fractions show per-batch cost "
-            "tracking the delta, not the corpus"
+            "compact_every; the empty-delta wall is the per-epoch fixed "
+            "floor (state snapshot maintenance + ~30 sequential job "
+            "barriers), so delta-proportional cost = merge wall minus "
+            "floor — the two delta fractions show IT tracking the delta, "
+            "not the corpus"
         ),
     }
     print(json.dumps(out))
