@@ -781,35 +781,50 @@ def run_incremental() -> None:
             F.bit_xor(F.xxhash64("mention_id", "cluster_id")).alias("h")
         ).collect()[0]["h"]
 
-    t0 = time.time()
-    merge_batch(spark, ments(base), state, 0)
-    w_bootstrap = time.time() - t0
-    spark.catalog.clearCache()
-    t0 = time.time()
-    merge_batch(spark, ments(d10), state, 1)
-    w_d10 = time.time() - t0
-    spark.catalog.clearCache()
-    t0 = time.time()
-    inc = merge_batch(spark, ments(d1), state, 2)
-    w_d1 = time.time() - t0
+    probes: dict[str, dict] = {}
+
+    def timed(label: str, fn):
+        spark.catalog.clearCache()
+        pre = _steal_probe(5_000_000)
+        t0 = time.time()
+        out = fn()
+        wall = time.time() - t0
+        probes[label] = {
+            "probe_pre_ops": round(pre),
+            "probe_post_ops": round(_steal_probe(5_000_000)),
+        }
+        return out, wall
+
+    _, w_bootstrap = timed("bootstrap", lambda: merge_batch(spark, ments(base), state, 0))
+    _, w_d10 = timed("delta10", lambda: merge_batch(spark, ments(d10), state, 1))
+    inc, w_d1 = timed("delta1", lambda: merge_batch(spark, ments(d1), state, 2))
     # per-epoch fixed floor: merging an EMPTY delta isolates the cost of
     # state maintenance itself (snapshot reads/writes, manifest, lineage,
     # job scheduling) from delta-proportional work
-    spark.catalog.clearCache()
-    t0 = time.time()
-    inc = merge_batch(spark, ments(t.filter(F.lit(False))), state, 3)
-    w_d0 = time.time() - t0
+    inc, w_d0 = timed(
+        "empty_delta",
+        lambda: merge_batch(spark, ments(t.filter(F.lit(False))), state, 3),
+    )
     t0 = time.time()
     n_inc = inc.count()
     w_resolve = time.time() - t0
     chk_inc = checksum(inc)
     spark.catalog.clearCache()
-    t0 = time.time()
-    full = run_pipeline(
-        spark, t, store=None, config=PipelineConfig(exact_pairs=True)
-    )
-    n_full = full.count()
-    w_full = time.time() - t0
+    def run_full():
+        df = run_pipeline(
+            spark, t, store=None, config=PipelineConfig(exact_pairs=True)
+        )
+        return df, df.count()
+
+    # best-of-2 with per-attempt probes: the full recompute is the longest
+    # phase and the most exposed to hypervisor steal windows (observed
+    # pre-probe drops to 1/17th of nominal inflating it ~2x) — a steal can
+    # only inflate a wall, so min is the defensible denominator
+    full_attempts = []
+    for i in range(2):
+        (full, n_full), w = timed(f"full_recompute_{i}", run_full)
+        full_attempts.append(w)
+    w_full = min(full_attempts)
     chk_full = checksum(full)
     out = {
         "metric": "incremental_delta_vs_full_recompute",
@@ -822,10 +837,13 @@ def run_incremental() -> None:
         "empty_delta_merge_wall_sec": round(w_d0, 1),
         "resolve_read_wall_sec": round(w_resolve, 1),
         "full_recompute_wall_sec": round(w_full, 1),
+        "full_recompute_attempt_walls": [round(w, 1) for w in full_attempts],
         "delta10_over_full_ratio": round(w_d10 / w_full, 3),
         "delta1_over_full_ratio": round(w_d1 / w_full, 3),
         "clusters_rows": {"incremental": n_inc, "full": n_full},
         "checksum_match": bool(n_inc == n_full and chk_inc == chk_full),
+        "steal_probes": probes,
+        "steal_rule": STEAL_RULE,
         "note": (
             "merge walls cover the durable state commit (delta clusters "
             "write + manifest swap); resolve_read is the consumer-side "
