@@ -98,12 +98,15 @@ def run_pipeline(
     """
     cfg = config or PipelineConfig()
 
-    # scores has a single consumer (edges) — fusing avoids one extra pass.
-    # mentions defaults to persisted (columnar cache): the 8M-turn scaling
-    # runs showed the re-extract pass in assign_clusters costs more than
-    # the cache fill; set persist_mentions=False to trade back when
-    # executor memory is tighter than CPU.
-    _EPHEMERAL_NO_PERSIST = {"scores", "clusters"} | (
+    # single-consumer stages are fused, not persisted: scores feeds only
+    # edges, blocks feeds only pairs, pairs feeds only scores — persisting
+    # them pays a cache fill nothing reads twice (r5: dropping the blocks/
+    # pairs persists removed two serial materialization barriers from the
+    # fused DAG).  mentions defaults to persisted (columnar cache): the
+    # 8M-turn scaling runs showed the re-extract pass in assign_clusters
+    # costs more than the cache fill; surfaces (tiny) is read by blocks
+    # AND assign; edges by CC's backend-selection count AND the collect.
+    _EPHEMERAL_NO_PERSIST = {"scores", "clusters", "blocks", "pairs"} | (
         set() if cfg.persist_mentions else {"mentions"}
     )
 

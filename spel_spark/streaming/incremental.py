@@ -40,7 +40,9 @@ effectively-once, same discipline as ingest.start_mention_ingest):
   components/     snapshot  (node, component) — star edges of the next epoch
   surf_clusters/  snapshot  (norm_surface -> cluster_id) — the diff basis
   clusters/       delta     changed/new mention->cluster rows per epoch
-  _lineage/       append    per-partition lineage rows per epoch per stage
+  _lineage/       per-epoch per-partition lineage rows (epoch-partitioned
+                  dynamic overwrite — a retried epoch replaces its own
+                  audit rows, keeping the log effectively-once too)
   _LATEST         manifest  JSON commit record (see ``_read_marker``)
 
 The ``_LATEST`` manifest is the commit point and the O(1) answer to
