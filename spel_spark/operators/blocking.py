@@ -109,11 +109,12 @@ def blocking_keys(surfaces: DataFrame) -> DataFrame:
 def salted_id_pairs(
     blocks: DataFrame,
     id_col: str = "id",
-    key_col: str = "block_key",
+    key_col="block_key",
     max_cell: int = 1024,
     max_salts: int = 64,
     carry: tuple = (),
     pair_filter=None,
+    first_shared_key=None,
 ) -> DataFrame:
     """Payload-free triangle-salted self-join: all unordered id pairs
     sharing a key, deduplicated across keys.  Output (a_id, b_id).
@@ -125,15 +126,38 @@ def salted_id_pairs(
     single task ever sees a whole hot bucket (degenerate LSH buckets are
     the doc-dedup analogue of hot mention surfaces).
 
+    ``key_col`` is a single column name or a sequence of names (composite
+    bucket key, e.g. ``("slot", "bandh")`` — narrow typed columns join
+    faster than concatenated strings and carry the band slot for the
+    emit-once filter below).
+
     ``carry`` names narrow scalar columns of ``blocks`` (e.g. a token
     count) replicated through the cells as ``a_<c>``/``b_<c>`` so that
     ``pair_filter`` — a SYMMETRIC boolean Column over them — can prune
     pairs BEFORE the dedup shuffle (the widest shuffle of the flow).
     Symmetry is required because the filter runs before the (a, b)
-    canonicalization."""
-    counts = blocks.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_members"))
+    canonicalization.
+
+    Cross-key dedup, two modes (guide §2.3/§2.4 — the dedup shuffle was
+    the widest exchange of the whole dedup flow):
+
+    * default — ``.distinct()`` on (a_id, b_id): one full shuffle of
+      every surviving joined row (measured at sf0.1: 27M rows in, 5.6M
+      out — a dense near-dup corpus emits each pair from ~5 of 8 bands).
+    * ``first_shared_key`` — a SYMMETRIC int Column over carried
+      ``a_*``/``b_*`` columns giving the 0-based FIRST band slot the two
+      members share.  A pair is kept only where that slot equals the
+      bucket's own slot (the first element of the composite key), so each
+      unordered pair is emitted exactly once across keys AND cells with
+      no distinct shuffle at all.  Requires a composite ``key_col`` whose
+      FIRST column is the band-slot index.  In this mode the canonically
+      swapped carry columns ride along in the output (callers verify
+      inline instead of re-joining payloads).
+    """
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    counts = blocks.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_members"))
     sized = (
-        blocks.join(counts, key_col)
+        blocks.join(counts, key_cols)
         .filter(F.col("n_members") > 1)
         .withColumn(
             "n_salts",
@@ -147,28 +171,53 @@ def salted_id_pairs(
         )
     )
     a_side = sized.select(
-        F.col(key_col).alias("_k"),
+        *key_cols,
         F.col(id_col).alias("a_id"),
         *[F.col(c).alias(f"a_{c}") for c in carry],
         F.col("salt").alias("i"),
         F.explode(F.sequence(F.col("salt"), F.col("n_salts") - 1)).alias("j"),
     )
     b_side = sized.select(
-        F.col(key_col).alias("_k"),
+        *key_cols,
         F.col(id_col).alias("b_id"),
         *[F.col(c).alias(f"b_{c}") for c in carry],
         F.explode(F.sequence(F.lit(0), F.col("salt"))).alias("i"),
         F.col("salt").alias("j"),
     )
-    joined = a_side.join(b_side, ["_k", "i", "j"]).filter(
-        F.col("a_id") != F.col("b_id")
-    )
+    joined = a_side.join(b_side, [*key_cols, "i", "j"])
+    if first_shared_key is None:
+        joined = joined.filter(F.col("a_id") != F.col("b_id"))
+        if pair_filter is not None:
+            joined = joined.filter(pair_filter)
+        return joined.select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        ).distinct()
+    # emit-once mode.  Within one bucket, triangle replication yields each
+    # unordered pair once in off-diagonal cells (orientation fixed by
+    # salt) and BOTH orientations in the diagonal cell — a_id < b_id
+    # there keeps one (and drops self-pairs).  Across buckets, a member
+    # sits in exactly one bucket per slot, so keeping the pair only in
+    # its first shared slot makes the global emission exactly-once: the
+    # union over buckets is reproduced without the distinct shuffle.
+    joined = joined.filter(
+        (F.col("i") != F.col("j")) | (F.col("a_id") < F.col("b_id"))
+    ).filter(F.col(key_cols[0]) == first_shared_key)
     if pair_filter is not None:
         joined = joined.filter(pair_filter)
+    a_lt = F.col("a_id") < F.col("b_id")
     return joined.select(
-        F.least("a_id", "b_id").alias("a_id"),
-        F.greatest("a_id", "b_id").alias("b_id"),
-    ).distinct()
+        F.when(a_lt, F.col("a_id")).otherwise(F.col("b_id")).alias("a_id"),
+        F.when(a_lt, F.col("b_id")).otherwise(F.col("a_id")).alias("b_id"),
+        *[
+            F.when(a_lt, F.col(f"a_{c}")).otherwise(F.col(f"b_{c}")).alias(f"a_{c}")
+            for c in carry
+        ],
+        *[
+            F.when(a_lt, F.col(f"b_{c}")).otherwise(F.col(f"a_{c}")).alias(f"b_{c}")
+            for c in carry
+        ],
+    )
 
 
 def salted_pairs(
@@ -186,6 +235,12 @@ def salted_pairs(
     cells (s, j) for j >= s and the B side of cells (i, s) for i <= s;
     equi-join on (block_key, i, j) then a_id < b_id keeps each pair once.
     """
+    # consumed by three plan branches (counts + both join sides): persist
+    # the narrow projection so the upstream (scan + normalize + banding)
+    # is expanded once, not three times (see anchor_pairs for the audit)
+    blocks = blocks.select(
+        "surface_id", "norm_surface", "block_key"
+    ).persist()
     counts = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("n_members"))
     sized = (
         blocks.join(counts, "block_key")
@@ -262,8 +317,25 @@ def anchor_pairs(
     """
     from pyspark.sql import Window
 
+    # blocks is consumed twice while filling the sized cache below
+    # (count aggregation + join probe): persist the narrow projection so
+    # the scan + normalize + MinHash banding upstream runs exactly once
+    blocks = blocks.select(
+        "surface_id", "norm_surface", "n_mentions", "block_key"
+    ).persist()
     counts = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("n_members"))
-    sized = blocks.join(counts, "block_key").filter(F.col("n_members") > 1)
+    # persist: the sized-blocks table is consumed by FIVE plan branches
+    # (small -> salted_pairs' counts + both join sides; big -> anchor
+    # election + member join).  Unpersisted, each branch re-expanded the
+    # whole upstream — parquet scan + normalize + 16-hash MinHash banding
+    # — so one query planned 5 scans of the base table (r6 plan audit:
+    # pairs_engine had 68 Exchanges / 5 Scans; with the persist the
+    # upstream runs once).  A derived projection is persisted, never the
+    # caller's DataFrame; lifecycle follows the caller's action (same
+    # contract as dedup.minhash_near_dup_pairs).
+    sized = (
+        blocks.join(counts, "block_key").filter(F.col("n_members") > 1).persist()
+    )
 
     small = sized.filter(F.col("n_members") <= full_block_limit).select(
         "surface_id", "norm_surface", "n_mentions", "block_key"

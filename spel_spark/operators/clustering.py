@@ -117,35 +117,42 @@ def connected_components(
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
-    """Small-graph fast path: classic union-find with path compression."""
+    """Small-graph fast path: vectorized min-label propagation (numpy).
+
+    The r5 implementation was a per-edge Python loop (~2-5 µs/edge: ~4 s
+    for the 3M-edge sf0.1 doc graph, single-threaded on the driver).
+    This is the same computation as C-speed array ops: hook every edge's
+    larger label to the smaller, pointer-jump to compress, repeat until
+    no edge spans two labels — O((E+V) * log V) vectorized, ~0.1 s at 3M
+    edges.  Exact same result as union-find: component = min node id.
+
+    Arrow transfer (toPandas) — toLocalIterator's py4j row streaming is
+    ~10x slower and fully serial.
+    """
+    import numpy as np
+
     spark = edges.sparkSession
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    # Arrow transfer (toPandas) — toLocalIterator's py4j row streaming is
-    # ~10x slower and fully serial
     pdf = edges.select("a_id", "b_id").toPandas()
-    nodes: set[int] = set()
-    for a, b in zip(pdf["a_id"].to_numpy(), pdf["b_id"].to_numpy()):
-        a, b = int(a), int(b)
-        nodes.add(a)
-        nodes.add(b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    a = pdf["a_id"].to_numpy(dtype=np.int64, copy=False)
+    b = pdf["b_id"].to_numpy(dtype=np.int64, copy=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        la, lb = label[ia], label[ib]
+        if np.array_equal(la, lb):
+            break
+        # hook: point each edge's larger label at the smaller one
+        np.minimum.at(label, np.maximum(la, lb), np.minimum(la, lb))
+        # full path compression via pointer jumping
+        while True:
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
     import pandas as pd
 
-    out = pd.DataFrame(
-        {"node": list(nodes), "component": [find(n) for n in nodes]},
-        dtype="int64",
-    )
+    out = pd.DataFrame({"node": nodes, "component": nodes[label]})
     return spark.createDataFrame(out, "node long, component long")
 
 

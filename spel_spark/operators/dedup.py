@@ -34,6 +34,12 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     One explode + one groupBy with 64 conditional sums — all map-side
     combinable, so Zipf-heavy documents cost nothing extra.
     """
+    from spel_spark.session import ensure_min_parallelism
+
+    # single-split guard (guide §2.5 input skew): the token explode + the
+    # 64 partial sums otherwise run on ONE core when the input is a
+    # one-row-group parquet file
+    docs = ensure_min_parallelism(docs)
     toks = docs.select(
         F.col(id_col),
         F.explode(
@@ -58,6 +64,22 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return sums.select(F.col(id_col), sim.alias("simhash"))
 
 
+def _simhash_chunk(col, j: int, bits: int):
+    return F.shiftright(col, j * bits).bitwiseAND(F.lit((1 << bits) - 1))
+
+
+def _first_shared_chunk(a_col, b_col, n_bands: int, bits: int):
+    """0-based first band slot where the two signatures' chunks agree —
+    a codegen-friendly when-chain (no interpreted HOFs)."""
+    expr = F.lit(-1)
+    for j in reversed(range(n_bands)):
+        expr = F.when(
+            _simhash_chunk(a_col, j, bits) == _simhash_chunk(b_col, j, bits),
+            F.lit(j),
+        ).otherwise(expr)
+    return expr
+
+
 def simhash_candidate_pairs(
     sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 8
 ) -> DataFrame:
@@ -68,13 +90,19 @@ def simhash_candidate_pairs(
     MinHash path below.  A degenerate band value (e.g. a boilerplate-heavy
     corpus slice where one 16-bit band collides for 10^5 documents) would
     otherwise recreate the hot-key blowup in a single join task; salting
-    bounds every cell, and the 8-byte simhash is joined back afterwards
-    for the popcount verify (ids-only through the salt cells).
+    bounds every cell.
+
+    Emit-once plan (r6, guide §2.3/§2.4): the 8-byte simhash rides
+    THROUGH the salt cells as a carry column, so the popcount verify is
+    inline and the old signature join-back is gone, and cross-band pair
+    duplicates are dropped by the first-shared-band filter instead of a
+    ``.distinct()`` — the candidate flow now has no pair-level shuffle at
+    all (before: 2 Exchange + 2 join for dedup + verify).
     """
     from spel_spark.operators.blocking import salted_id_pairs
 
-    # consumed three times (band explode + both verify sides): persist so
-    # the 64-way conditional-sum aggregation behind `sims` runs once.
+    # consumed once per side of the salted self-join: persist so the
+    # 64-way conditional-sum aggregation behind `sims` runs once.
     # A derived projection is persisted — NOT the caller's DataFrame —
     # so the argument is never cached as a side effect; callers running
     # repeatedly should clearCache between runs (same contract as
@@ -82,29 +110,26 @@ def simhash_candidate_pairs(
     sims = sims.select(F.col(id_col), F.col("simhash")).persist()
     bands = sims.select(
         F.col(id_col),
-        F.explode(
+        F.col("simhash"),
+        F.posexplode(
             F.array(
-                *[
-                    F.concat(
-                        F.lit(f"{j}:"),
-                        F.shiftright(F.col("simhash"), j * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .cast("string"),
-                    )
-                    for j in range(SIMHASH_BANDS)
-                ]
+                *[_simhash_chunk(F.col("simhash"), j, 16) for j in range(SIMHASH_BANDS)]
             )
-        ).alias("band"),
+        ).alias("slot", "bandh"),
     )
-    cands = salted_id_pairs(bands, id_col=id_col, key_col="band")
-    sa = sims.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sh_a"))
-    sb = sims.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sh_b"))
+    cands = salted_id_pairs(
+        bands,
+        id_col=id_col,
+        key_col=("slot", "bandh"),
+        carry=("simhash",),
+        first_shared_key=_first_shared_chunk(
+            F.col("a_simhash"), F.col("b_simhash"), SIMHASH_BANDS, 16
+        ),
+    )
     return (
-        cands.join(sa, "a_id")
-        .join(sb, "b_id")
-        .withColumn(
+        cands.withColumn(
             "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+            F.bit_count(F.col("a_simhash").bitwiseXOR(F.col("b_simhash"))),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
@@ -142,19 +167,57 @@ def _word_minhash_sig(
     )
 
 
-def _sig_bands(sig: DataFrame, id_col: str, n_hashes: int = 16, bands: int = 8) -> DataFrame:
-    """Explode a signature into its LSH band keys (r = n_hashes/bands)."""
+def _band_hash_cols(n_hashes: int, bands: int) -> list:
+    """Per-slot 64-bit band hashes of a ``sig`` array column."""
     r = n_hashes // bands
-    band_cols = [
-        F.concat(
-            F.lit(f"b{j}:"),
-            F.xxhash64(
-                *[F.col("sig").getItem(j * r + k) for k in range(r)]
-            ).cast("string"),
-        )
+    return [
+        F.xxhash64(*[F.col("sig").getItem(j * r + k) for k in range(r)])
         for j in range(bands)
     ]
+
+
+def _sig_bands(sig: DataFrame, id_col: str, n_hashes: int = 16, bands: int = 8) -> DataFrame:
+    """Explode a signature into its LSH band keys (r = n_hashes/bands)."""
+    band_cols = [
+        F.concat(F.lit(f"b{j}:"), c.cast("string"))
+        for j, c in enumerate(_band_hash_cols(n_hashes, bands))
+    ]
     return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
+
+
+def _sig_band_slots(
+    sig: DataFrame, id_col: str, n_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """(id, bv0..bv{bands-1}, slot, bandh): the slot-indexed twin of
+    :func:`_sig_bands` — same band hashes, but keyed (slot, bandh) with
+    every per-slot band hash carried as a SCALAR column for the
+    emit-once pair filter (scalar fixed-width fields replicate through
+    the salt cells ~20% cheaper than an array column: measured 3.7 s vs
+    4.8 s for the sf0.1 candidate stage).  Bucketing is identical to the
+    string form (the "b{j}:" prefix only ever encoded the slot, which is
+    now its own key column)."""
+    base = sig.select(
+        F.col(id_col),
+        *[c.alias(f"bv{j}") for j, c in enumerate(_band_hash_cols(n_hashes, bands))],
+    )
+    return base.select(
+        F.col(id_col),
+        *[F.col(f"bv{j}") for j in range(bands)],
+        F.posexplode(F.array(*[F.col(f"bv{j}") for j in range(bands)])).alias(
+            "slot", "bandh"
+        ),
+    )
+
+
+def _first_shared_slot(n_bands: int):
+    """0-based first slot where the carried a_bv*/b_bv* band hashes agree
+    (when-chain — whole-stage-codegen, unlike zip_with/array_position)."""
+    expr = F.lit(-1)
+    for j in reversed(range(n_bands)):
+        expr = F.when(
+            F.col(f"a_bv{j}") == F.col(f"b_bv{j}"), F.lit(j)
+        ).otherwise(expr)
+    return expr
 
 
 def _word_minhash_bands(
@@ -198,10 +261,17 @@ def minhash_near_dup_pairs(
        measured at sf0.1, where the corpus emits 8.2M band candidates
        for 2.97M true edges):
 
-       * token-COUNT bound, applied INSIDE the salt cells before the
-         candidate dedup shuffle: |A∩B|/|A∪B| >= t implies
-         min(|A|,|B|) >= t*max(|A|,|B|) — exact, no recall loss, and it
-         prunes the widest shuffle of the flow at 8 bytes/row carried;
+       * token-COUNT bound, applied INSIDE the salt cells: |A∩B|/|A∪B|
+         >= t implies min(|A|,|B|) >= t*max(|A|,|B|) — exact, no recall
+         loss, 8 bytes/row carried;
+       * (r6) cross-band pair dedup is EMIT-ONCE, not ``.distinct()``:
+         the per-slot band hashes ride through the salt cells and a pair
+         is kept only in its first shared band slot, which removed the
+         widest exchange of the flow outright (measured at sf0.1: the
+         27M-row dedup shuffle became a filter; candidate stage 14.7 s
+         -> 3.7 s).  The surviving ids are then hash-repartitioned so
+         the verify does not inherit the salted join's hot-cell
+         partitioning (see inline comment);
        * the signature prefilter (step 2 above);
        * token sets are 64-bit xxhash64 values (sorted BIGINT arrays),
          not strings: set intersection over longs is ~2.6x faster and
@@ -225,7 +295,11 @@ def minhash_near_dup_pairs(
     transitivity).
     """
     from spel_spark.operators.blocking import salted_id_pairs
+    from spel_spark.session import ensure_min_parallelism
 
+    # single-split guard: the tokenize + hash + 32-way min aggregation
+    # otherwise runs on one core over a one-row-group parquet scan
+    docs = ensure_min_parallelism(docs)
     sig = _word_minhash_sig(docs, id_col, text_col, n_hashes).persist()
     # hashed token sets (sorted BIGINTs) + their size; consumed by both
     # verify sides AND the count-bound carry — persist so the scan + split
@@ -250,25 +324,38 @@ def minhash_near_dup_pairs(
         .withColumn("n_toks", F.size("toks"))
         .persist()
     )
-    bands_df = _sig_bands(sig, id_col, n_hashes, bands).join(
+    bands_df = _sig_band_slots(sig, id_col, n_hashes, bands).join(
         t.select(F.col(id_col), "n_toks"), id_col
     )
     len_ok = F.least("a_n_toks", "b_n_toks") >= F.lit(jaccard_threshold) * F.greatest(
         "a_n_toks", "b_n_toks"
     )
+    # hash-repartition the surviving candidate ids before the verify
+    # joins: without this exchange the zip_with prefilter and the exact
+    # token intersect fuse into the salted-join stage and inherit its
+    # (slot, bandh, cell) partitioning, where the hot buckets concentrate
+    # the surviving pairs in a handful of tasks (guide §2.5 — measured at
+    # sf0.1: 32 s fused vs 6.9 s with the boundary).  16-byte id rows
+    # only; partition count follows spark.sql.shuffle.partitions + AQE.
     cands = salted_id_pairs(
-        bands_df, id_col=id_col, key_col="band", carry=("n_toks",), pair_filter=len_ok
-    )
+        bands_df,
+        id_col=id_col,
+        key_col=("slot", "bandh"),
+        carry=("n_toks", *[f"bv{j}" for j in range(bands)]),
+        pair_filter=len_ok,
+        first_shared_key=_first_shared_slot(bands),
+    ).select("a_id", "b_id").repartition("a_id", "b_id")
     sa = sig.select(F.col(id_col).alias("a_id"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("b_id"), F.col("sig").alias("sig_b"))
-    match_frac = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-            )
-        )
-        / F.size("sig_a")
+    # matching-slot count as an unrolled sum of getItem comparisons: the
+    # zip_with/filter form is an interpreted HOF per pair (guide §4.1's
+    # JVM row-at-a-time caveat applies to HOF lambdas too); the unrolled
+    # form whole-stage-codegens.  Integer count — bit-identical result.
+    matches = sum(
+        (F.col("sig_a").getItem(i) == F.col("sig_b").getItem(i)).cast("int")
+        for i in range(n_hashes)
     )
+    match_frac = matches / F.size("sig_a")
     prefiltered = (
         cands.join(sa, "a_id")
         .join(sb, "b_id")

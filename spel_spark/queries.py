@@ -32,6 +32,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t plus the single-split parallelism guard — ONLY for queries whose
+    result is invariant under row order/partitioning (per-row maps, joins,
+    exact-integer aggs, fully-ordered windows).  Queries with cross-row
+    FLOAT aggregation (e.g. tpch_q1's sum of doubles) must keep the
+    scan's native partitioning: a repartition reorders the summation and
+    shifts the round-6 result (observed on tpch_q1 — checksum flipped),
+    which the DuckDB oracle comparison would count as a wrong answer.
+
+    Why the guard at all: the driver's tables are one-row-group parquet
+    files, so a scan is ONE partition and every narrow operator chained
+    onto it (md5 fingerprints, 64-dim cosines, shingle MinHash) runs on a
+    single core until the first exchange.  No-op on multi-split inputs
+    (see session.ensure_min_parallelism)."""
+    from spel_spark.session import ensure_min_parallelism
+
+    return ensure_min_parallelism(_t(spark, sf_dir, name))
+
+
 def _r6(col):
     return F.round(col, 6).cast("double")
 
@@ -204,7 +223,7 @@ FROM events GROUP BY 1, 2
 # --------------------------------------------------------------------------
 
 def q_norm_surface(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
+    p = _tp(spark, sf_dir, "part")
     return p.select(
         "p_partkey", norm_surface_col(F.col("p_name")).alias("norm_surface")
     )
@@ -758,7 +777,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     check.  Threshold 0.4 admits both the planted exact dups (cos = 1.0)
     and the densest natural near-dups — the kernel is exercised on both.
     """
-    base = _t(spark, sf_dir, "embeddings").select(
+    base = _tp(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     e = base.unionByName(
@@ -793,7 +812,7 @@ SELECT a_vec, b_vec, label, cos FROM p WHERE cos >= 0.4
 def q_ann_topk_cosine(spark, sf_dir):
     """Brute-force cosine top-k neighbors for the first 10 query vectors —
     the exactness baseline for ANN (scale path: LSH/IVF bucketing)."""
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _tp(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") < 10).select(
@@ -1005,7 +1024,7 @@ SQL_ANN_LSH_TOPK = _sql_lsh_ann()
 def q_text_stats(spark, sf_dir):
     """Text quality scoring: token counts, uniqueness, mean token length,
     BPE-ish length estimate (ceil(chars/4))."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
@@ -1061,7 +1080,7 @@ FROM s
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: min-md5 over word 5-grams (winnowing-lite,
     portable)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - 5, F.lit(0)))
@@ -2147,7 +2166,7 @@ def q_pairs_engine(spark, sf_dir):
         surface_nodes,
     )
 
-    p = _t(spark, sf_dir, "part").select(
+    p = _tp(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("mention_id"),
         norm_surface_col(F.col("p_name")).alias("norm_surface"),
     )

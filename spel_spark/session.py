@@ -69,6 +69,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # scalar @udf functions (none on hot paths, but belt-and-braces)
+        # cross the boundary as Arrow batches instead of pickled rows
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+        # guide §3.1: allow shuffled-hash joins where the per-partition
+        # build side fits — avoids the sort of sort-merge for the many
+        # mid-size equi-joins (band buckets, pair verify).  Size-gated by
+        # Spark itself, so this is plan-quality, not a local-mode tune.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         # local mode runs all 32 executor threads inside the driver JVM, so
@@ -94,6 +106,31 @@ def get_spark(
         pass  # already added in this context, or read-only tmp — workers
         # then rely on PYTHONPATH (spark-submit --py-files on a cluster)
     return spark
+
+
+def ensure_min_parallelism(df, target: int | None = None):
+    """Guard against single-split inputs serializing compute-dense operators.
+
+    The driver's tables are single parquet files with ONE row group, so a
+    scan yields one partition no matter what ``maxPartitionBytes`` says —
+    and every narrow operator chained onto it (explode + 32-hash MinHash,
+    md5 fingerprints, 64-dim cosines) runs on one core until the first
+    exchange (measured at sf0.1: dedup_embedding_cosine computes ~200k
+    cosines in a single task).  When the plan has fewer partitions than
+    ``spark.default.parallelism``, round-robin repartition to it; on real
+    multi-split inputs (100-TB scans) the condition is false and this is a
+    no-op, so nothing here is tuned to local mode.  Deterministic under
+    retry: keyless repartition keeps Spark's sort-before-repartition.
+    """
+    sc = df.sparkSession.sparkContext
+    target = int(target or sc.defaultParallelism)
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n < target:
+        return df.repartition(target)
+    return df
 
 
 def warm_python_workers(spark: SparkSession) -> None:
