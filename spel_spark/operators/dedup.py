@@ -347,15 +347,20 @@ def minhash_near_dup_pairs(
     ).select("a_id", "b_id").repartition("a_id", "b_id")
     sa = sig.select(F.col(id_col).alias("a_id"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("b_id"), F.col("sig").alias("sig_b"))
-    # matching-slot count as an unrolled sum of getItem comparisons: the
-    # zip_with/filter form is an interpreted HOF per pair (guide §4.1's
-    # JVM row-at-a-time caveat applies to HOF lambdas too); the unrolled
-    # form whole-stage-codegens.  Integer count — bit-identical result.
-    matches = sum(
-        (F.col("sig_a").getItem(i) == F.col("sig_b").getItem(i)).cast("int")
-        for i in range(n_hashes)
+    # NB: keep the zip_with form.  An "optimized" unrolled sum of 32
+    # getItem comparisons was A/B'd and is ~8x SLOWER end to end (67 s vs
+    # 8 s at sf0.1, interleaved reps): the 60+-node comparison tree blows
+    # past the codegen method budget inside the join stage and the whole
+    # stage falls back to interpreted evaluation — guide §1.1's "fresh
+    # ideal implementation is usually slower at first" in action.
+    match_frac = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+            )
+        )
+        / F.size("sig_a")
     )
-    match_frac = matches / F.size("sig_a")
     prefiltered = (
         cands.join(sa, "a_id")
         .join(sb, "b_id")
