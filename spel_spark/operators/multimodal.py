@@ -119,6 +119,9 @@ def _image_feature_vec(img: np.ndarray, grid: int = 4) -> np.ndarray:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+# decoded-bytes ceiling for the pure-python unfilter kernel (64 MiB —
+# a 4096x4096 RGBA frame); see decode_png for the rationale
+_MAX_DECODE_BYTES = 64 * 1024 * 1024
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -143,11 +146,14 @@ def _unfilter_scanline(
         return (
             np.frombuffer(line, np.uint8) + np.frombuffer(prev, np.uint8)
         ).tobytes()
+    if ftype == 1:  # Sub — per-lane prefix sum mod 256, fully vectorized:
+        # cur[k*bpp+lane] = sum(line[i*bpp+lane] for i <= k) mod 256
+        arr = np.frombuffer(line, np.uint8).copy()
+        for lane in range(bpp):
+            arr[lane::bpp] = np.cumsum(arr[lane::bpp], dtype=np.int64) & 0xFF
+        return arr.tobytes()
     cur = bytearray(line)
-    if ftype == 1:  # Sub
-        for x in range(bpp, n):
-            cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-    elif ftype == 3:  # Average
+    if ftype == 3:  # Average
         for x in range(n):
             left = cur[x - bpp] if x >= bpp else 0
             cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
@@ -206,6 +212,16 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported color type {color_type} (no palette)")
     if interlace:
         raise ValueError("Adam7 interlacing unsupported")
+    # decoded-size cap: the Average/Paeth unfilters are per-byte Python
+    # loops (sequential along x by spec), so one huge filtered image could
+    # stall a whole Arrow batch in the mapInPandas worker.  Oversized
+    # images take the same per-row ValueError isolation path as corrupt
+    # payloads; production swaps this kernel for libpng and lifts the cap.
+    if w * h * channels > _MAX_DECODE_BYTES:
+        raise ValueError(
+            f"PNG decoded size {w}x{h}x{channels} exceeds the pure-python "
+            f"kernel cap ({_MAX_DECODE_BYTES} bytes)"
+        )
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:

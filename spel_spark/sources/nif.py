@@ -188,6 +188,12 @@ def to_nif_turtle(contexts: DataFrame, phrases: DataFrame) -> DataFrame:
 def collect_turtle(doc_turtles: DataFrame) -> str:
     """Assemble the per-document blocks into one turtle document string
     (driver-side join of already-serialized blocks — the wire format is a
-    single HTTP payload in the reference's serving flow)."""
+    single HTTP payload in the reference's serving flow).
+
+    DRIVER-BOUNDARY ONLY: the collect here exists because a GERBIL-style
+    shim consumes one in-memory string; it is bounded by that payload's
+    size, not by corpus scale.  The distributed path is
+    :func:`to_nif_turtle` — write its output with Spark, never through
+    this function."""
     rows = doc_turtles.orderBy("doc_id").select("turtle").collect()
     return _TTL_HEADER + "\n" + "\n\n".join(r.turtle for r in rows) + "\n"

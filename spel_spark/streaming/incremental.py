@@ -93,6 +93,14 @@ def _write_epoch(df: DataFrame, path: str, epoch: int) -> None:
         .partitionBy("epoch")
         .parquet(path)
     )
+    # a zero-row epoch writes NO partition dir under dynamic overwrite,
+    # which would make "legitimately empty" indistinguishable from
+    # "partition pruned/deleted behind the manifest's back".  Creating the
+    # (possibly empty) partition dir pins the invariant the read guards
+    # rely on: a manifest-referenced partition that is MISSING is always
+    # corruption (local-FS form, like _prune_epochs; on an object store
+    # this is a zero-byte marker object).
+    os.makedirs(os.path.join(path, f"epoch={int(epoch)}"), exist_ok=True)
 
 
 def _with_epoch(schema) -> "object":
@@ -154,7 +162,20 @@ def _read_snapshot(
             f"state manifest references epoch {epoch} of {path!r} but the "
             "table does not exist — state dir corrupted or partially deleted"
         )
+    # the table dir existing is not enough: a pruned/deleted epoch=<N>
+    # partition under a surviving dir would otherwise filter to an EMPTY
+    # frame and silently drop every previously known surface/component —
+    # exactly the corruption mode this guard documents
+    _assert_epoch_partition(path, int(epoch))
     return df.filter(F.col("epoch") == int(epoch)).drop("epoch")
+
+
+def _assert_epoch_partition(path: str, epoch: int) -> None:
+    if not os.path.isdir(os.path.join(path, f"epoch={int(epoch)}")):
+        raise ValueError(
+            f"state manifest references epoch {epoch} of {path!r} but that "
+            "partition is missing — state dir corrupted or partially deleted"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -179,18 +200,37 @@ def _read_marker(state_dir: str) -> dict | None:
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return json.load(f)
+        try:
+            return json.load(f)
+        except json.JSONDecodeError as exc:
+            raise ValueError(
+                f"corrupt {_MARKER} manifest in {state_dir!r} ({exc}) — "
+                "the commit record is unreadable; restore it from a backup "
+                "or start a fresh state dir"
+            ) from exc
 
 
 def _write_marker(state_dir: str, marker: dict) -> None:
     """Atomic manifest swap (POSIX rename — on an object store this is
-    the catalog's atomic metadata-pointer update)."""
+    the catalog's atomic metadata-pointer update).  The temp file is
+    fsync'd before the rename (and the directory after) so a power loss
+    cannot leave an empty/truncated manifest behind the commit point."""
     os.makedirs(state_dir, exist_ok=True)
     p = os.path.join(state_dir, _MARKER)
     tmp = p + ".__tmp__"
     with open(tmp, "w") as f:
         json.dump(marker, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, p)
+    try:
+        dfd = os.open(state_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # directory fsync unsupported on some filesystems — best effort
 
 
 def _epoch_inputs(marker: dict | None, state_dir: str, epoch: int) -> tuple:
@@ -231,6 +271,19 @@ def _epoch_inputs(marker: dict | None, state_dir: str, epoch: int) -> tuple:
             f"epoch {marker['epoch']} in {state_dir!r} never committed but "
             f"epoch {epoch} is arriving — the stream advanced past a "
             "failed batch; state would be missing that epoch's pairs forever"
+        )
+    if epoch > marker["epoch"] + 1:
+        # foreachBatch ids are contiguous within one checkpoint lineage:
+        # a forward gap means this state dir was paired with a DIFFERENT,
+        # further-advanced streaming checkpoint — merging would silently
+        # skip the missing epochs' pairs (mirror of the reset guard above)
+        raise ValueError(
+            f"incoming epoch {epoch} skips ahead of last state epoch "
+            f"{marker['epoch']} in {state_dir!r}: batch ids are contiguous "
+            "within one checkpoint lineage, so the state dir is paired "
+            "with a different checkpoint; the skipped epochs' pairs would "
+            "be silently lost.  Use the state dir's own checkpoint or a "
+            "fresh --state dir."
         )
     return marker["epoch"], list(marker.get("cluster_epochs", []))
 
@@ -289,6 +342,11 @@ def _resolve_clusters(
     df = _read_state(spark, _path(state_dir, "clusters"), _st(CLUSTERS_SCHEMA))
     if df is None:
         raise ValueError(f"no clusters state under {state_dir!r}")
+    # same missing-partition guard as _read_snapshot: a manifest-referenced
+    # delta partition that was pruned must raise, not resolve to a view
+    # that silently lost those mentions' assignments
+    for e in epochs:
+        _assert_epoch_partition(_path(state_dir, "clusters"), int(e))
     df = df.filter(F.col("epoch").isin([int(e) for e in epochs]))
     if len(epochs) == 1:
         return df.drop("epoch")
@@ -311,6 +369,14 @@ def merge_batch(
 ) -> DataFrame:
     """Merge one micro-batch of extracted mentions into the state and
     return the (lazily) resolved full clusters DataFrame.
+
+    LIFETIME of the returned frame: it is a lazy view over this epoch's
+    clusters delta partitions, which a LATER epoch's retention may prune
+    (one commit after the next compaction).  Consume it before calling
+    merge_batch again, or decouple it from the files first
+    (``df.localCheckpoint()`` / persist+materialize) — holding the raw
+    frame across subsequent merges can raise FileNotFoundException at
+    action time.
 
     ``batch_mentions`` must carry (conv_id, turn_idx, begin_char,
     end_char, surface, norm_surface, mention_id) — i.e. the output of

@@ -219,6 +219,32 @@ def test_png_codec_roundtrip_all_filters_and_channels():
     assert (decode_png(encode_png(gray))[:, :, 0] == gray).all()
 
 
+def test_png_oversized_dimensions_rejected():
+    """Images past the pure-python kernel's decoded-size cap raise (the
+    Average/Paeth unfilters are sequential per-byte loops — one huge
+    filtered frame must hit the corrupt-payload isolation path, not stall
+    an Arrow batch).  Built by hand so only IHDR dims are huge; no real
+    giant buffer is allocated."""
+    import zlib as _z
+
+    import pytest
+
+    from spel_spark.operators.multimodal import _MAX_DECODE_BYTES, decode_png
+
+    w = h = 1 << 16  # 4G pixels x 3 channels >> cap
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    def chunk(ctype, body):
+        crc = (_z.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        return len(body).to_bytes(4, "big") + ctype + body + crc
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(b"\x00")) + chunk(b"IEND", b"")
+    )
+    assert w * h * 3 > _MAX_DECODE_BYTES
+    with pytest.raises(ValueError, match="exceeds the pure-python kernel cap"):
+        decode_png(payload)
+
+
 def test_png_decode_rejects_corruption():
     import pytest
 
