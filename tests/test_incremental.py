@@ -224,6 +224,60 @@ def test_retention_bounds_state_and_compaction_preserves_equality(
     assert _cluster_map(retried) == want
 
 
+def test_incremental_soak_50_epochs_state_plateaus(spark, corpus, tmp_path):
+    """Long-run soak (r5 verdict #4): 50 epochs with compact_every=8.
+    The snapshot/cluster state must stay bounded (byte size plateaus
+    instead of growing with epoch count), a retry at epoch 50 after many
+    retention cycles must still replay deterministically, and the
+    resolved view must equal the batch recompute exactly."""
+    import os
+
+    def _du(path):
+        total = 0
+        for dirpath, _dirs, files in os.walk(path):
+            for fn in files:
+                total += os.path.getsize(os.path.join(dirpath, fn))
+        return total
+
+    state = str(tmp_path / "state_soak")
+    pdf = corpus.transcripts.head(1500)
+    n = 50
+    step = len(pdf) // n
+    sizes = []
+    final = None
+    for e in range(n):
+        chunk = (
+            pdf.iloc[e * step : (e + 1) * step] if e < n - 1 else pdf.iloc[e * step :]
+        )
+        final = merge_batch(
+            spark, _mentions(spark, chunk), state, epoch=e, compact_every=8
+        )
+        sizes.append(
+            sum(_du(f"{state}/{t}") for t in ("surfaces", "components",
+                                              "surf_clusters", "clusters"))
+        )
+    # plateau: after the corpus is fully absorbed, bounded state must not
+    # keep growing — the mean size of the last 10 epochs stays within 40%
+    # of the mean of epochs 25-40 (both after several compaction cycles)
+    mid = sum(sizes[25:40]) / 15
+    tail = sum(sizes[-10:]) / 10
+    assert tail <= mid * 1.4, (mid, tail, sizes[-15:])
+    # snapshot retention held through every cycle: only {prev, current}
+    for tbl in ("surfaces", "components", "surf_clusters"):
+        assert _epoch_dirs(f"{state}/{tbl}") == [n - 2, n - 1], tbl
+    # clusters fan-in bounded by compact_every (+ prev view retention)
+    assert len(_epoch_dirs(f"{state}/clusters")) <= 2 * 8 + 2
+    want = _cluster_map(_batch_clusters(spark, pdf))
+    assert _cluster_map(final) == want
+    assert _cluster_map(read_clusters(spark, state)) == want
+    # retry of the final epoch after 6 compaction + retention cycles
+    retried = merge_batch(
+        spark, _mentions(spark, pdf.iloc[(n - 1) * step :]), state,
+        epoch=n - 1, compact_every=8,
+    )
+    assert _cluster_map(retried) == want
+
+
 def test_incremental_lineage_rows(spark, corpus, tmp_path):
     """North rule: per-partition lineage rows + score histograms, one set
     per epoch per stage."""
