@@ -31,13 +31,23 @@ SIMHASH_BANDS = 4  # 16 bits each
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash BIGINT): sign of per-bit weighted sums of token hashes.
 
-    One explode + one groupBy with 64 conditional sums — all map-side
-    combinable, so Zipf-heavy documents cost nothing extra.
+    One explode + one groupBy — all map-side combinable, so Zipf-heavy
+    documents cost nothing extra.
+
+    Packed 2-lane aggregation (r6, guide §2.3 "narrower types"): instead
+    of 64 separate ±1 sums, bit i and bit i+32 share ONE 64-bit
+    accumulator — lane value ((h>>i)&1) | (((h>>(i+32))&1) << 32).  Each
+    lane's sum counts set bits, bounded by the per-doc token count, which
+    is < 2^31 (a split() array is int-indexed), so lane sums never carry
+    into the upper lane: the packing is EXACT, not approximate.  The old
+    per-bit sign sum is recovered as 2*lane_sum - n > 0  <=>
+    lane_sum*2 > n, so the emitted signature is bit-identical; only the
+    aggregation state is halved (32 buffers + count vs 64).
     """
     from spel_spark.session import ensure_min_parallelism
 
     # single-split guard (guide §2.5 input skew): the token explode + the
-    # 64 partial sums otherwise run on ONE core when the input is a
+    # partial sums otherwise run on ONE core when the input is a
     # one-row-group parquet file
     docs = ensure_min_parallelism(docs)
     toks = docs.select(
@@ -48,18 +58,35 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
         ).alias("tok"),
     ).withColumn("h", F.xxhash64("tok", F.lit(5)))
+    half = SIMHASH_BITS // 2
     sums = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
         *[
             F.sum(
-                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-            ).alias(f"b{i}")
-            for i in range(SIMHASH_BITS)
-        ]
+                F.shiftright(F.col("h"), i)
+                .bitwiseAND(F.lit(1))
+                .bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(F.col("h"), i + half).bitwiseAND(F.lit(1)),
+                        half,
+                    )
+                )
+            ).alias(f"p{i}")
+            for i in range(half)
+        ],
     )
     sim = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
+    for i in range(half):
+        lo = F.col(f"p{i}").bitwiseAND(F.lit((1 << half) - 1))
+        hi = F.shiftright(F.col(f"p{i}"), half)  # p >= 0: arithmetic == logical
         sim = sim.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+            F.when(lo * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).bitwiseOR(
+            F.when(
+                hi * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), i + half)
+            ).otherwise(F.lit(0).cast("long"))
         )
     return sums.select(F.col(id_col), sim.alias("simhash"))
 
@@ -136,25 +163,28 @@ def simhash_candidate_pairs(
     )
 
 
-def _word_minhash_sig(
-    docs: DataFrame, id_col: str, text_col: str, n_hashes: int = 16
-) -> DataFrame:
-    """(id, sig ARRAY<BIGINT>): MinHash over word token sets.
+def _distinct_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dtoks ARRAY<STRING>): the distinct word tokens of each doc.
 
-    One explode + one groupBy with ``n_hashes`` min-aggregations: the token
-    split is computed once per document (not once per hash), and the mins
-    are map-side combinable, so Zipf-hot tokens never concentrate a key.
+    The shared tokenize pass (r6, guide §2.4 "don't compute things
+    twice"): both the MinHash signature AND the exact-verify token sets
+    consume only the distinct token set, so the scan + split + filter +
+    distinct runs once and is persisted by the caller, instead of once
+    per consumer.
     """
-    toks = docs.select(
+    return docs.select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                # drop "" tokens from space runs: they hash to a constant
-                # that slightly biases small-document Jaccard estimates
-                F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
-            )
-        ).alias("tok"),
+        F.array_distinct(
+            # drop "" tokens from space runs: they hash to a constant
+            # that slightly biases small-document Jaccard estimates
+            F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+        ).alias("dtoks"),
     )
+
+
+def _sig_from_dtoks(dt: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
+    """MinHash signature over a (id, dtoks) distinct-token table."""
+    toks = dt.select(F.col(id_col), F.explode("dtoks").alias("tok"))
     sig = toks.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64("tok", F.lit(200 + i))).alias(f"mh_{i}")
@@ -165,6 +195,18 @@ def _word_minhash_sig(
         F.col(id_col),
         F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig"),
     )
+
+
+def _word_minhash_sig(
+    docs: DataFrame, id_col: str, text_col: str, n_hashes: int = 16
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>): MinHash over word token sets.
+
+    One explode + one groupBy with ``n_hashes`` min-aggregations: the token
+    split is computed once per document (not once per hash), and the mins
+    are map-side combinable, so Zipf-hot tokens never concentrate a key.
+    """
+    return _sig_from_dtoks(_distinct_tokens(docs, id_col, text_col), id_col, n_hashes)
 
 
 def _band_hash_cols(n_hashes: int, bands: int) -> list:
@@ -300,24 +342,23 @@ def minhash_near_dup_pairs(
     # single-split guard: the tokenize + hash + 32-way min aggregation
     # otherwise runs on one core over a one-row-group parquet scan
     docs = ensure_min_parallelism(docs)
-    sig = _word_minhash_sig(docs, id_col, text_col, n_hashes).persist()
+    # shared tokenize pass (r6): the signature AND the verify token sets
+    # both depend only on the distinct token set, so scan + split +
+    # filter + distinct runs ONCE (persisted) instead of once per
+    # consumer.  Exactness: sig explodes the same distinct set the old
+    # per-consumer expression produced; toks applies array_distinct
+    # AGAIN after hashing, so two distinct tokens colliding to one
+    # 64-bit hash still collapse exactly as before.
+    dt = _distinct_tokens(docs, id_col, text_col).persist()
+    sig = _sig_from_dtoks(dt, id_col, n_hashes).persist()
     # hashed token sets (sorted BIGINTs) + their size; consumed by both
-    # verify sides AND the count-bound carry — persist so the scan + split
-    # + hash happens once
+    # verify sides AND the count-bound carry
     t = (
-        docs.select(
+        dt.select(
             F.col(id_col),
             F.array_sort(
                 F.array_distinct(
-                    F.transform(
-                        # same empty-token filter as _word_minhash_sig: the
-                        # signature estimate and the exact verify must see
-                        # the same token set
-                        F.filter(
-                            F.split(F.col(text_col), " "), lambda x: F.length(x) > 0
-                        ),
-                        lambda x: F.xxhash64(x),
-                    )
+                    F.transform(F.col("dtoks"), lambda x: F.xxhash64(x))
                 )
             ).alias("toks"),
         )
@@ -345,8 +386,6 @@ def minhash_near_dup_pairs(
         pair_filter=len_ok,
         first_shared_key=_first_shared_slot(bands),
     ).select("a_id", "b_id").repartition("a_id", "b_id")
-    sa = sig.select(F.col(id_col).alias("a_id"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col(id_col).alias("b_id"), F.col("sig").alias("sig_b"))
     # NB: keep the zip_with form.  An "optimized" unrolled sum of 32
     # getItem comparisons was A/B'd and is ~8x SLOWER end to end (67 s vs
     # 8 s at sf0.1, interleaved reps): the 60+-node comparison tree blows
@@ -361,19 +400,35 @@ def minhash_near_dup_pairs(
         )
         / F.size("sig_a")
     )
-    prefiltered = (
-        cands.join(sa, "a_id")
-        .join(sb, "b_id")
-        .filter(match_frac >= jaccard_threshold / 2.0)
-        .select("a_id", "b_id")
+    # ONE pass over the candidates (r6, guide §2.4): the signature
+    # prefilter and the exact Jaccard verify used to be two separate
+    # join passes (4 joins; the prefilter pass re-streamed every
+    # candidate).  Stage isolation at sf0.1 showed the prefilter keeps
+    # 99.7% of candidates on this corpus — its separate pass was nearly
+    # pure overhead — so both sides now join the combined (sig, toks,
+    # n_toks) table once and the two filters run as one conjunction.
+    # Row-for-row identical: kept iff match_frac >= t/2 AND jacc >= t,
+    # exactly the old two-stage condition (the prefilter still prunes
+    # hot-bucket bulk before the array_intersect evaluates, via
+    # short-circuit And).
+    sta = sig.join(t, id_col).select(
+        F.col(id_col).alias("a_id"),
+        F.col("sig").alias("sig_a"),
+        F.col("toks").alias("ta"),
+        F.col("n_toks").alias("na"),
     )
-    ta = t.select(F.col(id_col).alias("a_id"), F.col("toks").alias("ta"), F.col("n_toks").alias("na"))
-    tb = t.select(F.col(id_col).alias("b_id"), F.col("toks").alias("tb"), F.col("n_toks").alias("nb"))
+    stb = sig.join(t, id_col).select(
+        F.col(id_col).alias("b_id"),
+        F.col("sig").alias("sig_b"),
+        F.col("toks").alias("tb"),
+        F.col("n_toks").alias("nb"),
+    )
     inter = F.size(F.array_intersect("ta", "tb"))
     jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
-        prefiltered.join(ta, "a_id")
-        .join(tb, "b_id")
+        cands.join(sta, "a_id")
+        .join(stb, "b_id")
+        .filter(match_frac >= jaccard_threshold / 2.0)
         .withColumn("jacc", jac.cast("double"))
         .filter(F.col("jacc") >= jaccard_threshold)
         .select("a_id", "b_id", "jacc")
