@@ -386,6 +386,8 @@ def minhash_near_dup_pairs(
         pair_filter=len_ok,
         first_shared_key=_first_shared_slot(bands),
     ).select("a_id", "b_id").repartition("a_id", "b_id")
+    sa = sig.select(F.col(id_col).alias("a_id"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("b_id"), F.col("sig").alias("sig_b"))
     # NB: keep the zip_with form.  An "optimized" unrolled sum of 32
     # getItem comparisons was A/B'd and is ~8x SLOWER end to end (67 s vs
     # 8 s at sf0.1, interleaved reps): the 60+-node comparison tree blows
@@ -400,35 +402,27 @@ def minhash_near_dup_pairs(
         )
         / F.size("sig_a")
     )
-    # ONE pass over the candidates (r6, guide §2.4): the signature
-    # prefilter and the exact Jaccard verify used to be two separate
-    # join passes (4 joins; the prefilter pass re-streamed every
-    # candidate).  Stage isolation at sf0.1 showed the prefilter keeps
-    # 99.7% of candidates on this corpus — its separate pass was nearly
-    # pure overhead — so both sides now join the combined (sig, toks,
-    # n_toks) table once and the two filters run as one conjunction.
-    # Row-for-row identical: kept iff match_frac >= t/2 AND jacc >= t,
-    # exactly the old two-stage condition (the prefilter still prunes
-    # hot-bucket bulk before the array_intersect evaluates, via
-    # short-circuit And).
-    sta = sig.join(t, id_col).select(
-        F.col(id_col).alias("a_id"),
-        F.col("sig").alias("sig_a"),
-        F.col("toks").alias("ta"),
-        F.col("n_toks").alias("na"),
+    # NB: keep the two-pass join shape (sig prefilter joins, THEN toks
+    # joins).  A "fused" single-pass variant — both sides joining a
+    # combined (sig, toks, n_toks) table once — was A/B'd in-process
+    # (5 interleaved reps over pre-materialized candidates) and is
+    # SLOWER (median 2.30 s vs 1.76 s): the 4-BHJ two-pass chain already
+    # fuses into one WholeStageCodegen with narrower rows between joins,
+    # while the fused form pays two extra broadcast builds of the joined
+    # side table.
+    prefiltered = (
+        cands.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(match_frac >= jaccard_threshold / 2.0)
+        .select("a_id", "b_id")
     )
-    stb = sig.join(t, id_col).select(
-        F.col(id_col).alias("b_id"),
-        F.col("sig").alias("sig_b"),
-        F.col("toks").alias("tb"),
-        F.col("n_toks").alias("nb"),
-    )
+    ta = t.select(F.col(id_col).alias("a_id"), F.col("toks").alias("ta"), F.col("n_toks").alias("na"))
+    tb = t.select(F.col(id_col).alias("b_id"), F.col("toks").alias("tb"), F.col("n_toks").alias("nb"))
     inter = F.size(F.array_intersect("ta", "tb"))
     jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
-        cands.join(sta, "a_id")
-        .join(stb, "b_id")
-        .filter(match_frac >= jaccard_threshold / 2.0)
+        prefiltered.join(ta, "a_id")
+        .join(tb, "b_id")
         .withColumn("jacc", jac.cast("double"))
         .filter(F.col("jacc") >= jaccard_threshold)
         .select("a_id", "b_id", "jacc")
